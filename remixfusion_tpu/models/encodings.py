@@ -1,0 +1,290 @@
+"""Input encodings as functional (init, apply) modules in pure jnp.
+
+TPU-native replacements for the tiny-cuda-nn encodings used by the reference
+(reference: model/encodings.py:6-103): multiresolution HashGrid (instant-ngp
+style, trainable), OneBlob, Frequency, SphericalHarmonics (degree<=4), Dense
+grid and Identity. Hash-table lookups are XLA gathers; gradients flow back to
+the tables via the gather transpose (scatter-add), replacing tcnn's fused
+CUDA backward.
+
+Grid alignment follows tcnn's convention so encodings behave the same under
+interpolation: level scale s_l = base * growth**l - 1, voxel position
+p * s_l + 0.5, corner = floor(.), trilinear weights from the fraction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Spatial-hash primes (instant-ngp / tcnn convention: x unhashed).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridEncoding:
+    """Multiresolution hash-grid encoding (trainable).
+
+    Matches the reference's tcnn HashGrid configuration
+    (model/encodings.py:33-51): n_levels levels, `level_dim` features per
+    level, per-level growth derived from desired_resolution as
+    exp2(log2(desired / n_levels) / (n_levels - 1)).
+    """
+
+    def __init__(
+        self,
+        n_levels: int = 16,
+        level_dim: int = 2,
+        base_resolution: int = 16,
+        log2_hashmap_size: int = 19,
+        desired_resolution: int = 512,
+    ):
+        self.n_levels = n_levels
+        self.level_dim = level_dim
+        self.base_resolution = base_resolution
+        self.hashmap_size = 1 << log2_hashmap_size
+        if n_levels > 1:
+            self.per_level_scale = 2.0 ** (
+                math.log2(desired_resolution / n_levels) / (n_levels - 1)
+            )
+        else:
+            self.per_level_scale = 1.0
+        self.out_dim = n_levels * level_dim
+
+        # Per-level resolutions and table offsets (tcnn grid.h convention).
+        self.resolutions = []
+        self.offsets = [0]
+        self.hashed = []
+        off = 0
+        for lvl in range(n_levels):
+            scale = self.base_resolution * (self.per_level_scale ** lvl) - 1.0
+            res = int(math.ceil(scale)) + 1
+            dense = res ** 3
+            use_hash = dense > self.hashmap_size
+            size = self.hashmap_size if use_hash else dense
+            # Align to 8 entries like tcnn for reproducible layouts.
+            size = (size + 7) // 8 * 8
+            self.resolutions.append(res)
+            self.hashed.append(use_hash)
+            off += size
+            self.offsets.append(off)
+        self.table_size = off
+        self._res_arr = jnp.asarray(self.resolutions, jnp.int32)
+        self._off_arr = jnp.asarray(self.offsets[:-1], jnp.uint32)
+        self._level_size = jnp.asarray(
+            [self.offsets[i + 1] - self.offsets[i] for i in range(n_levels)],
+            jnp.uint32,
+        )
+        self._hashed_arr = jnp.asarray(self.hashed, bool)
+
+    def init(self, key) -> jnp.ndarray:
+        # tcnn initializes hash tables ~ U(-1e-4, 1e-4).
+        return jax.random.uniform(
+            key, (self.table_size, self.level_dim), jnp.float32, -1e-4, 1e-4
+        )
+
+    def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, 3] in [0, 1] -> features [N, n_levels * level_dim]."""
+        n = x.shape[0]
+        L = self.n_levels
+        # Per-level voxel coordinates: pos = x * scale + 0.5 (tcnn grid.h).
+        scales = jnp.asarray(
+            [self.base_resolution * (self.per_level_scale ** l) - 1.0 for l in range(L)],
+            jnp.float32,
+        )
+        pos = x[:, None, :] * scales[None, :, None] + 0.5  # [N, L, 3]
+        corner = jnp.floor(pos)
+        frac = pos - corner
+        corner = corner.astype(jnp.int32)  # [N, L, 3]
+
+        res = self._res_arr  # [L]
+        feats = []
+        # Accumulate the 8-corner interpolation; indices computed per corner.
+        out = jnp.zeros((n, L, self.level_dim), jnp.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    cx = corner[..., 0] + dx
+                    cy = corner[..., 1] + dy
+                    cz = corner[..., 2] + dz
+                    # Dense index (x-major like tcnn: stride 1, res, res^2).
+                    dense_idx = (
+                        cx.astype(jnp.uint32)
+                        + cy.astype(jnp.uint32) * res.astype(jnp.uint32)[None, :]
+                        + cz.astype(jnp.uint32)
+                        * (res.astype(jnp.uint32) ** 2)[None, :]
+                    )
+                    hash_idx = (
+                        cx.astype(jnp.uint32) * np.uint32(_PRIMES[0])
+                        ^ cy.astype(jnp.uint32) * np.uint32(_PRIMES[1])
+                        ^ cz.astype(jnp.uint32) * np.uint32(_PRIMES[2])
+                    )
+                    idx = jnp.where(self._hashed_arr[None, :], hash_idx, dense_idx)
+                    idx = idx % self._level_size[None, :] + self._off_arr[None, :]
+                    w = (
+                        (frac[..., 0] if dx else 1 - frac[..., 0])
+                        * (frac[..., 1] if dy else 1 - frac[..., 1])
+                        * (frac[..., 2] if dz else 1 - frac[..., 2])
+                    )
+                    out = out + w[..., None] * table[idx.astype(jnp.int32)]
+        return out.reshape(n, self.out_dim)
+
+
+class DenseGridEncoding:
+    """Multi-level dense grid encoding (trainable), tcnn 'Dense' analog."""
+
+    def __init__(self, n_levels=4, level_dim=2, base_resolution=16,
+                 desired_resolution=512):
+        per_level_scale = 2.0 ** (
+            math.log2(desired_resolution / n_levels) / max(n_levels - 1, 1)
+        )
+        self.inner = HashGridEncoding(
+            n_levels=n_levels, level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=31,  # large enough that every level is dense
+            desired_resolution=desired_resolution,
+        )
+        self.inner.per_level_scale = per_level_scale
+        self.out_dim = self.inner.out_dim
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def __call__(self, table, x):
+        return self.inner(table, x)
+
+
+class OneBlobEncoding:
+    """OneBlob encoding (n_bins per input dim).
+
+    A Gaussian blob centered at the input is integrated over each of n_bins
+    uniform bins of [0, 1] (sigma = 1 / n_bins), giving a smooth, localized
+    positional code (the tcnn 'OneBlob' used by the reference for the
+    positional branch, model/encodings.py:65-76).
+    """
+
+    def __init__(self, n_bins: int = 16, input_dim: int = 3):
+        self.n_bins = n_bins
+        self.input_dim = input_dim
+        self.out_dim = n_bins * input_dim
+        edges = jnp.linspace(0.0, 1.0, n_bins + 1)
+        self._lo = edges[:-1]
+        self._hi = edges[1:]
+        self._sigma = 1.0 / n_bins
+
+    def init(self, key):
+        return None
+
+    def __call__(self, _params, x: jnp.ndarray) -> jnp.ndarray:
+        # x: [N, D] in [0, 1]
+        inv = 1.0 / (self._sigma * math.sqrt(2.0))
+        up = jax.scipy.special.erf((self._hi[None, None, :] - x[..., None]) * inv)
+        lo = jax.scipy.special.erf((self._lo[None, None, :] - x[..., None]) * inv)
+        # scale by n_bins so the peak bin is O(1)
+        val = 0.5 * (up - lo) * self.n_bins * (self._sigma * math.sqrt(2 * math.pi))
+        return val.reshape(x.shape[0], self.out_dim)
+
+
+class FrequencyEncoding:
+    """NeRF-style sin/cos frequency encoding."""
+
+    def __init__(self, n_frequencies: int = 12, input_dim: int = 3):
+        self.n_frequencies = n_frequencies
+        self.input_dim = input_dim
+        self.out_dim = input_dim * n_frequencies * 2
+        self._freqs = 2.0 ** jnp.arange(n_frequencies)
+
+    def init(self, key):
+        return None
+
+    def __call__(self, _params, x):
+        xf = x[..., None] * self._freqs[None, None, :] * math.pi
+        enc = jnp.concatenate([jnp.sin(xf), jnp.cos(xf)], axis=-1)
+        return enc.reshape(x.shape[0], self.out_dim)
+
+
+class SphericalHarmonicsEncoding:
+    """Real spherical harmonics of a direction, degrees 1..4 (16 coeffs)."""
+
+    def __init__(self, degree: int = 4):
+        assert 1 <= degree <= 4
+        self.degree = degree
+        self.out_dim = degree ** 2
+
+    def init(self, key):
+        return None
+
+    def __call__(self, _params, d):
+        # d: [N, 3], assumed normalized to the unit sphere from [0,1]^3 inputs
+        # (tcnn maps [0,1] -> [-1,1]).
+        d = d * 2.0 - 1.0
+        x, y, z = d[:, 0], d[:, 1], d[:, 2]
+        out = [jnp.full_like(x, 0.28209479177387814)]
+        if self.degree > 1:
+            out += [-0.48860251190291987 * y,
+                    0.48860251190291987 * z,
+                    -0.48860251190291987 * x]
+        if self.degree > 2:
+            xy, yz, xz = x * y, y * z, x * z
+            x2, y2, z2 = x * x, y * y, z * z
+            out += [1.0925484305920792 * xy,
+                    -1.0925484305920792 * yz,
+                    0.94617469575755997 * z2 - 0.31539156525251999,
+                    -1.0925484305920792 * xz,
+                    0.54627421529603959 * (x2 - y2)]
+        if self.degree > 3:
+            out += [0.59004358992664352 * y * (-3.0 * x2 + y2),
+                    2.8906114426405538 * xy * z,
+                    0.45704579946446572 * y * (1.0 - 5.0 * z2),
+                    0.3731763325901154 * z * (5.0 * z2 - 3.0),
+                    0.45704579946446572 * x * (1.0 - 5.0 * z2),
+                    1.4453057213202769 * z * (x2 - y2),
+                    0.59004358992664352 * x * (-x2 + 3.0 * y2)]
+        return jnp.stack(out, axis=-1)
+
+
+class IdentityEncoding:
+    def __init__(self, input_dim: int = 3):
+        self.out_dim = input_dim
+
+    def init(self, key):
+        return None
+
+    def __call__(self, _params, x):
+        return x
+
+
+def get_encoder(
+    encoding: str,
+    input_dim: int = 3,
+    degree: int = 4,
+    n_bins: int = 16,
+    n_frequencies: int = 12,
+    n_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    desired_resolution: int = 512,
+):
+    """Encoder factory with the reference's name-matching rules
+    (model/encodings.py:6-103). Returns (encoder, out_dim)."""
+    enc = encoding.lower()
+    if "dense" in enc:
+        e = DenseGridEncoding(4, level_dim, base_resolution, desired_resolution)
+    elif "hash" in enc or "tiled" in enc:
+        e = HashGridEncoding(n_levels, level_dim, base_resolution,
+                             log2_hashmap_size, desired_resolution)
+    elif "spherical" in enc:
+        e = SphericalHarmonicsEncoding(degree)
+    elif "blob" in enc:
+        e = OneBlobEncoding(n_bins, input_dim)
+    elif "freq" in enc:
+        e = FrequencyEncoding(n_frequencies, input_dim)
+    elif "identity" in enc:
+        e = IdentityEncoding(input_dim)
+    else:
+        raise ValueError(f"unknown encoding {encoding}")
+    return e, e.out_dim

@@ -1,0 +1,181 @@
+import numpy as np
+import jax.numpy as jnp
+
+from remixfusion_tpu.ops import tsdf
+from remixfusion_tpu.core.rays import get_camera_rays
+
+
+H, W = 60, 80
+FX = FY = 70.0
+CX, CY = (W - 1) / 2, (H - 1) / 2
+K = jnp.asarray([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], jnp.float32)
+
+
+def render_plane_depth(z_plane: float):
+    """Depth image of a fronto-parallel plane at distance z (camera at origin,
+    looking down +z, OpenCV convention): depth is constant z."""
+    return np.full((H, W), z_plane, np.float32)
+
+
+def make_local_volume(dims=(64, 64, 64), origin=(-0.64, -0.64, 0.0)):
+    return tsdf.make_volume(dims, origin)
+
+
+def test_fuse_plane_creates_zero_crossing():
+    voxel = 0.02
+    vol = make_local_volume()
+    depth = jnp.asarray(render_plane_depth(0.8))
+    color = jnp.full((H, W, 3), 200.0)
+    c2w = jnp.eye(4)
+    vol = tsdf.fuse_frame(
+        vol, depth, color, K, c2w,
+        voxel_size=voxel, trunc_margin=0.06, obs_weight=1.0,
+        im_h=H, im_w=W, weight_clamp=True,
+    )
+    t = np.asarray(vol.tsdf)
+    w = np.asarray(vol.weight)
+    # central column of voxels along z: zero crossing at z = 0.8 -> iz = 40
+    cx_i, cy_i = 32, 32
+    col = t[cx_i, cy_i, :]
+    wcol = w[cx_i, cy_i, :]
+    # In front of the surface (observed free space) tsdf ~ +1 clamped by min(1, sdf/trunc)
+    assert col[10] == 1.0 and wcol[10] > 0
+    # near surface: crossing between iz=39 and 41
+    assert col[38] > 0 > col[42]
+    # behind surface beyond truncation: unobserved
+    assert wcol[46] == 0 and col[46] == 1.0
+    # color only within the truncation band
+    c = np.asarray(vol.color)
+    assert c[cx_i, cy_i, 40].max() == 200.0
+    assert c[cx_i, cy_i, 10].max() == 0.0
+
+
+def test_fuse_running_mean_and_weight_clamp():
+    voxel = 0.02
+    vol = make_local_volume()
+    depth = jnp.asarray(render_plane_depth(0.8))
+    color = jnp.full((H, W, 3), 100.0)
+    c2w = jnp.eye(4)
+    kw = dict(voxel_size=voxel, trunc_margin=0.06, obs_weight=1.0,
+              im_h=H, im_w=W, weight_clamp=True)
+    for _ in range(50):
+        vol = tsdf.fuse_frame(vol, depth, color, K, c2w, **kw)
+    w = np.asarray(vol.weight)
+    assert w.max() <= 40.0  # reference clamp at 40 (Volume.py:302-307)
+    # tsdf stays consistent under repeated identical observations
+    t = np.asarray(vol.tsdf)
+    assert abs(t[32, 32, 40]) < 0.35
+
+
+def test_trilinear_matches_analytic():
+    voxel = 0.1
+    dims = (16, 16, 16)
+    origin = jnp.zeros(3)
+    # linear field f(p) = x + 2y + 3z sampled at voxel centers
+    ix, iy, iz = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+    f = (ix + 2 * iy + 3 * iz).astype(np.float32) * voxel
+    w = np.ones(dims, np.float32)
+    c = np.zeros(dims + (3,), np.float32)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0.1, 1.3, size=(100, 3)).astype(np.float32)
+    t, _, valid = tsdf.trilinear(
+        jnp.asarray(f), jnp.asarray(c), jnp.asarray(w), jnp.asarray(pts),
+        origin, voxel)
+    expect = pts[:, 0] + 2 * pts[:, 1] + 3 * pts[:, 2]
+    assert np.asarray(valid).all()
+    assert np.allclose(np.asarray(t), expect, atol=1e-4)
+
+
+def test_trilinear_invalid_outside():
+    vol = make_local_volume(dims=(8, 8, 8), origin=(0, 0, 0))
+    pts = jnp.asarray([[10.0, 0.0, 0.0], [0.05, 0.05, 0.05]])
+    t, _, valid = tsdf.trilinear(vol.tsdf, vol.color, vol.weight, pts,
+                                 vol.origin, 0.02)
+    v = np.asarray(valid)
+    assert not v[0]
+    # inside but zero weight -> invalid by the >=4-observed-corner rule
+    assert not v[1]
+    assert np.asarray(t)[0] == 1.0
+
+
+def test_nearest_lookup():
+    dims = (8, 8, 8)
+    f = np.arange(np.prod(dims), dtype=np.float32)
+    origin = jnp.zeros(3)
+    pts = jnp.asarray([[0.11, 0.29, 0.41], [-1.0, 0, 0]])
+    val, valid = tsdf.nearest_tsdf(jnp.asarray(f), pts, origin, 0.1, dims)
+    v = np.asarray(val)
+    assert np.asarray(valid)[0] and not np.asarray(valid)[1]
+    assert v[0] == 1 * 64 + 3 * 8 + 4
+
+
+def test_shift_volume_preserves_content():
+    vol = make_local_volume(dims=(16, 16, 16), origin=(0, 0, 0))
+    tsdf_arr = np.ones((16, 16, 16), np.float32)
+    tsdf_arr[5, 6, 7] = -0.5
+    w = np.zeros_like(tsdf_arr)
+    w[5, 6, 7] = 3.0
+    vol = vol._replace(tsdf=jnp.asarray(tsdf_arr), weight=jnp.asarray(w))
+    voxel = 0.25
+    # shift origin by exactly (2, -1, 0) voxels
+    new_origin = jnp.asarray([0.5, -0.25, 0.0])
+    out = tsdf.shift_volume(vol, new_origin, voxel)
+    t2 = np.asarray(out.tsdf)
+    w2 = np.asarray(out.weight)
+    assert t2[3, 7, 7] == -0.5
+    assert w2[3, 7, 7] == 3.0
+    assert w2.sum() == 3.0  # everything else reset/copied-empty
+    assert (np.asarray(out.origin) == np.asarray(new_origin)).all()
+
+
+def test_filter_and_reset():
+    vol = make_local_volume(dims=(8, 8, 8))
+    w = np.zeros((8, 8, 8), np.float32)
+    w[0, 0, 0] = 1.0
+    w[1, 1, 1] = 5.0
+    vol = vol._replace(weight=jnp.asarray(w), tsdf=jnp.zeros((8, 8, 8)))
+    out = tsdf.filter_low_weight(vol, 2.0)
+    wo = np.asarray(out.weight)
+    assert wo[0, 0, 0] == 0.0 and np.asarray(out.tsdf)[0, 0, 0] == 1.0
+    assert wo[1, 1, 1] == 5.0
+    r = tsdf.reset_volume(vol)
+    assert np.asarray(r.tsdf).min() == 1.0 and np.asarray(r.weight).max() == 0.0
+
+
+def test_global_mode_deintegration():
+    voxel = 1.0 / 32
+    dims = (32, 32, 32)
+    vol = tsdf.make_volume(dims, (-0.32, -0.32, 0.0))
+    scale = jnp.asarray([1.0, 1.0, 1.0])
+    depth = jnp.asarray(render_plane_depth(0.5))
+    color = jnp.full((H, W, 3), 0.5)
+    c2w = jnp.eye(4)
+    kw = dict(voxel_size=voxel, trunc_margin=0.25, im_h=H, im_w=W,
+              global_mode=True, scale=scale, voxel_size_is_normalized=True)
+    vol = tsdf.fuse_frame(vol, depth, color, K, c2w, obs_weight=1.0, **kw)
+    assert np.asarray(vol.weight).max() == 1.0
+    # de-integrate the same frame: barely-observed voxels reset
+    vol2 = tsdf.fuse_frame(vol, depth, color, K, c2w, obs_weight=-1.0, **kw)
+    assert np.asarray(vol2.weight).max() == 0.0
+    assert np.asarray(vol2.tsdf).min() == 1.0
+
+
+def test_fuse_then_mesh_plane():
+    """End-to-end: fuse a plane, run marching cubes, check surface position."""
+    from remixfusion_tpu.ops import marching_cubes as mc
+
+    voxel = 0.02
+    vol = make_local_volume()
+    depth = jnp.asarray(render_plane_depth(0.8))
+    color = jnp.full((H, W, 3), 128.0)
+    c2w = jnp.eye(4)
+    kw = dict(voxel_size=voxel, trunc_margin=0.06, obs_weight=1.0,
+              im_h=H, im_w=W, weight_clamp=True)
+    for _ in range(3):
+        vol = tsdf.fuse_frame(vol, depth, color, K, c2w, **kw)
+    t = np.asarray(vol.tsdf)
+    w = np.asarray(vol.weight)
+    verts, faces = mc.marching_cubes(t, 0.0, mask=w > 0)
+    assert len(verts) > 100
+    world_z = np.asarray(vol.origin)[2] + verts[:, 2] * voxel
+    assert abs(np.median(world_z) - 0.8) < voxel
