@@ -1,0 +1,139 @@
+"""Analytic synthetic RGB-D sequence: a sphere inside a colored box room.
+
+Ray-traced exactly (ray/sphere and ray/axis-plane intersections), so depth
+and geometry are noise-free and every metric has a closed-form ground truth.
+Used by the test suite, bench.py, and as a dataset type ("synthetic") for
+end-to-end runs without downloaded data. The camera orbits the room center,
+always looking at the sphere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from remixfusion_tpu.datasets.base import BaseDataset
+
+
+def _look_at(eye, target, up=(0.0, -1.0, 0.0)):
+    """OpenCV-convention c2w: +z forward, +x right, +y down."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(target, np.float64) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, np.float64)
+    right = np.cross(up, fwd)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross((1.0, 0.0, 0.0), fwd)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = down
+    c2w[:3, 2] = fwd
+    c2w[:3, 3] = eye
+    return c2w
+
+
+class SyntheticDataset(BaseDataset):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        syn = cfg["data"].get("synthetic", {})
+        self.n_frames = int(syn.get("n_frames", 100))
+        self.room_size = float(syn.get("room_size", 4.0))  # box [0, s]^3
+        self.sphere_radius = float(syn.get("sphere_radius", 0.6))
+        self.orbit_radius = float(syn.get("orbit_radius", 1.2))
+        self.orbit_degrees = float(syn.get("orbit_degrees", 120.0))
+        s = self.room_size
+        self.center = np.array([s / 2, s / 2, s / 2], np.float32)
+        self.poses = [self._pose(i) for i in range(self.n_frames)]
+        self._cache = {}
+
+    def __len__(self):
+        return self.n_frames
+
+    def _pose(self, i):
+        t = i / max(self.n_frames - 1, 1)
+        ang = np.deg2rad(self.orbit_degrees) * t
+        eye = self.center + self.orbit_radius * np.array(
+            [np.cos(ang), 0.12 * np.sin(2 * ang), np.sin(ang)])
+        return _look_at(eye, self.center)
+
+    def render(self, c2w):
+        """Exact ray-traced depth (z-depth) + RGB for one pose."""
+        dirs = np.asarray(self.get_direction())  # [H, W, 3] camera frame
+        d_world = dirs @ c2w[:3, :3].T
+        o = c2w[:3, 3]
+
+        flat_d = d_world.reshape(-1, 3).astype(np.float64)
+        t_hit = np.full(flat_d.shape[0], np.inf)
+        color = np.zeros((flat_d.shape[0], 3), np.float32)
+
+        # Sphere
+        oc = (o - self.center).astype(np.float64)
+        b = 2.0 * flat_d @ oc
+        a = np.sum(flat_d * flat_d, axis=1)
+        c = oc @ oc - self.sphere_radius ** 2
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+        t1 = (-b - sq) / (2 * a)
+        t_s = np.where(hit & (t1 > 1e-6), t1, np.inf)
+        # Sphere color: smooth pattern from the surface normal
+        p = o[None, :] + t_s[:, None] * flat_d
+        n = (p - self.center) / self.sphere_radius
+        sph_col = 0.5 + 0.45 * np.stack(
+            [np.sin(3 * n[:, 0]) * np.cos(2 * n[:, 1]),
+             np.sin(4 * n[:, 1]),
+             np.cos(3 * n[:, 2])], axis=1)
+        upd = t_s < t_hit
+        t_hit = np.where(upd, t_s, t_hit)
+        color[upd] = sph_col[upd].astype(np.float32)
+
+        # Box walls (interior): planes x=0, x=s, y=0, y=s, z=0, z=s
+        s = self.room_size
+        wall_colors = np.array([
+            [0.85, 0.3, 0.3], [0.3, 0.85, 0.3], [0.3, 0.3, 0.85],
+            [0.85, 0.85, 0.3], [0.3, 0.85, 0.85], [0.85, 0.3, 0.85],
+        ], np.float32)
+        for k, (axis, plane) in enumerate(
+                [(0, 0.0), (0, s), (1, 0.0), (1, s), (2, 0.0), (2, s)]):
+            da = flat_d[:, axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_p = (plane - o[axis]) / da
+                p = o[None, :] + t_p[:, None] * flat_d
+            others = [i for i in range(3) if i != axis]
+            inside = ((p[:, others[0]] >= -1e-6) & (p[:, others[0]] <= s + 1e-6)
+                      & (p[:, others[1]] >= -1e-6) & (p[:, others[1]] <= s + 1e-6))
+            ok = np.isfinite(t_p) & (t_p > 1e-6) & inside & (t_p < t_hit)
+            t_hit = np.where(ok, t_p, t_hit)
+            # checkerboard shading so mapping has texture to learn
+            pu = np.nan_to_num(p[:, others[0]], nan=0.0, posinf=0.0, neginf=0.0)
+            pv = np.nan_to_num(p[:, others[1]], nan=0.0, posinf=0.0, neginf=0.0)
+            u = np.floor(pu * 2.5).astype(int)
+            v = np.floor(pv * 2.5).astype(int)
+            shade = np.where((u + v) % 2 == 0, 1.0, 0.72).astype(np.float32)
+            color[ok] = wall_colors[k][None, :] * shade[ok, None]
+
+        # z-depth (projection onto camera forward axis), like real sensors
+        fwd = c2w[:3, 2].astype(np.float64)
+        z = t_hit * (flat_d @ fwd)
+        z = np.where(np.isfinite(z), z, 0.0)
+        far = self.config["cam"]["far"]
+        z = np.where(z > far * 1.5, 0.0, z)
+        H, W = dirs.shape[:2]
+        return (color.reshape(H, W, 3),
+                z.reshape(H, W).astype(np.float32))
+
+    def __getitem__(self, index):
+        if index not in self._cache:
+            c2w = self.poses[index]
+            rgb, depth = self.render(c2w)
+            self._cache[index] = {
+                "frame_id": index,
+                "c2w": c2w,
+                "rgb": rgb,
+                "depth": depth,
+                "direction": np.asarray(self.get_direction()),
+            }
+            if len(self._cache) > 8:
+                self._cache.pop(next(iter(self._cache)))
+        return self._cache[index]

@@ -1,0 +1,67 @@
+"""Keyframe ray database: a fixed-capacity host-side ray store.
+
+Parity with the reference KeyFrameDatabase (model/keyframe.py:5-96): a
+preallocated [num_kf, num_rays_to_save, 7] buffer of (direction3, rgb3,
+depth1) rays per keyframe, filled by per-keyframe subsampling (uniform or
+valid-depth-filtered), sampled globally with uniform ray indices. The store
+lives in host RAM (as in the reference, whose buffer is a CPU tensor) —
+only the small sampled batches ship to the TPU each mapping step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class KeyFrameDatabase:
+    def __init__(self, config, H: int, W: int, num_kf: int,
+                 num_rays_to_save: int, seed: int = 0):
+        self.config = config
+        self.H = H
+        self.W = W
+        self.num_rays_to_save = num_rays_to_save
+        self.rays = np.zeros((num_kf, num_rays_to_save, 7), np.float32)
+        self.frame_ids: list[int] = []
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.frame_ids)
+
+    def sample_single_keyframe_rays(self, rays: np.ndarray, option="random",
+                                    first=False) -> np.ndarray:
+        """rays: [H*W, 7] -> [num_rays_to_save, 7]
+        (reference keyframe.py:28-49)."""
+        n_total = rays.shape[0]
+        if option == "filter_depth" and not first:
+            depth = rays[:, 6]
+            valid = (depth > 0.0) & (depth <= self.config["cam"]["depth_trunc"])
+            rays_valid = rays[valid]
+            if len(rays_valid) > self.num_rays_to_save:
+                idxs = self.rng.choice(len(rays_valid), self.num_rays_to_save,
+                                       replace=False)
+                return rays_valid[idxs]
+        idxs = self.rng.choice(n_total, self.num_rays_to_save, replace=False)
+        return rays[idxs]
+
+    def add_keyframe(self, batch, filter_depth: bool = False):
+        """batch: dict with 'direction' [H, W, 3], 'rgb' [H, W, 3],
+        'depth' [H, W], 'frame_id' (reference keyframe.py:60-81)."""
+        direction = np.asarray(batch["direction"]).reshape(-1, 3)
+        rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
+        depth = np.asarray(batch["depth"]).reshape(-1, 1)
+        rays = np.concatenate([direction, rgb, depth], axis=-1).astype(np.float32)
+        frame_id = int(np.asarray(batch["frame_id"]).reshape(-1)[0])
+        first = frame_id == 0
+        option = "filter_depth" if filter_depth else "random"
+        sampled = self.sample_single_keyframe_rays(rays, option, first=first)
+        self.rays[len(self.frame_ids)] = sampled
+        self.frame_ids.append(frame_id)
+
+    def sample_global_rays(self, bs: int):
+        """Uniformly sample `bs` rays across all stored keyframes
+        (reference keyframe.py:83-96). Returns (rays [bs, 7], frame_ids [bs])."""
+        num_kf = len(self.frame_ids)
+        idxs = self.rng.choice(num_kf * self.num_rays_to_save, bs, replace=False)
+        rays = self.rays[:num_kf].reshape(-1, 7)[idxs]
+        fids = np.asarray(self.frame_ids)[idxs // self.num_rays_to_save]
+        return rays, fids
