@@ -1,0 +1,348 @@
+"""Randomized pose optimization (gradient-free tracking) — one jit per frame.
+
+TPU-native rebuild of the reference ROTracker (model/ROtracker.py:33-971).
+The reference launches ~22 CUDA kernels per frame with a host readback of
+the candidate scores after EVERY particle iteration (ROtracker.py:570-571);
+here the vertex/normal preparation and all `particle_iter_lens` iterations —
+candidate evaluation, weighted-mean pose update, search-size annealing, EMA,
+success bookkeeping — run inside ONE jitted lax.fori_loop, so a frame costs
+a single host->device dispatch and a single pose readback.
+
+Per iteration the chosen candidate tier (10240/3072/1024 candidates) and
+image pyramid stride (32/16/8) follow count_particle exactly as in the
+reference (pst.TIFF_INDEX / pst.DEPTH_LEVEL); the tier is selected with
+lax.switch over three static-shape branches. Candidate evaluation is a
+[C, P] batch: rotate the cached camera-frame vertices into each candidate
+pose, nearest-voxel-gather the local TSDF, and reduce |tsdf - expected| —
+the segment-sum replaces the reference's atomicAdd accumulation
+(ROtracker.py:262-265).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remixfusion_tpu.tracking import pst as pst_mod
+
+
+class TrackResult(NamedTuple):
+    c2w: jnp.ndarray            # [4, 4] optimized pose
+    search_size: jnp.ndarray    # [6] final search size (inheritance carry)
+    first_iter_success: jnp.ndarray  # bool
+    origin_value: jnp.ndarray   # mean |tsdf| fitness of the final pose
+
+
+class ROTracker:
+    def __init__(self, cfg, H: int, W: int, K: np.ndarray,
+                 vol_dims, voxel_size: float):
+        self.cfg = cfg
+        ro = cfg["RO"]
+        self.H, self.W = H, W
+        self.K = jnp.asarray(K, jnp.float32)
+        self.vol_dims = tuple(int(d) for d in vol_dims)
+        self.voxel_size = float(voxel_size)
+
+        self.init_size = float(ro["init_size"])
+        self.scaling_coefficient = float(ro["scaling_coefficient"])
+        self.particle_iter_lens = int(ro["particle_iter_lens"])
+        self.count_search = int(ro["count_search"])
+        self.fix_level_index = bool(ro["fix_level_index"])
+        self.cut_dist = float(ro["cut_dist"])
+        self.truncation = float(cfg["volume"]["trunc"])
+        self.sample_range = float(ro["sample_range"])
+        self.iterative_scale = bool(ro["iterative_scale"])
+        self.beta = 0.9
+        self.min_scale = 1e-3
+
+        sizes = list(ro["PST_size"])
+        tables = pst_mod.load_pst(ro["PST_path"], sizes)
+        self.pst = {c: jnp.asarray(tables[c]) for c in range(3)}
+        self.slab_table = jnp.asarray(pst_mod.slab_index_table())
+        # Static (class -> stride) map; strides follow count%3 like the
+        # reference's DEPTH_LEVEL pattern [32, 16, 8, ...]. The triple is
+        # sized for 720p-class images; configs with small images can override
+        # via RO.depth_level.
+        self.class_level = tuple(
+            int(v) for v in ro.get("depth_level",
+                                   pst_mod.DEPTH_LEVEL[:3]))
+        levels = [self.class_level[i % 3]
+                  for i in range(len(pst_mod.DEPTH_LEVEL))]
+        self.depth_level = jnp.asarray(np.asarray(levels, np.int32))
+
+        self._track = jax.jit(self._build_track())
+
+    # -------------------------------------------------- frame preparation
+
+    def _compute_vertex(self, depth, key):
+        """Depth -> camera-space vertex map [H, W, 4] (xyz + expected tsdf)
+        with optional random along-ray perturbation
+        (reference compute_vertex kernel, ROtracker.py:272-344)."""
+        H, W = self.H, self.W
+        K = self.K
+        d = jnp.where(depth > self.cut_dist, 0.0, depth)
+        valid = d > 0
+        sr = self.sample_range
+        if sr == 0.0:
+            sample = jnp.zeros((H, W), jnp.float32)
+        elif sr < 1.0:
+            sample = jax.random.uniform(key, (H, W), minval=-sr, maxval=sr)
+        else:
+            sample = jax.random.uniform(key, (H, W), minval=-sr, maxval=1.0)
+        z_val = sample * self.truncation
+        gt = -sample
+        gt = jnp.where((z_val < -self.truncation) | (z_val > self.truncation),
+                       1.0, gt)
+        jj = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+        ii = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+        cz = d + z_val
+        cx = (jj - K[0, 2]) * cz / K[0, 0]
+        cy = (ii - K[1, 2]) * cz / K[1, 1]
+        vert = jnp.stack([cx, cy, cz, gt], axis=-1)
+        return jnp.where(valid[..., None], vert, 0.0)
+
+    def _compute_normal(self, vertex):
+        """Central-difference normals [H, W, 3]; border pixels keep the
+        all-ones sentinel like the reference's never-written buffer init
+        (ROtracker.py:100-101, 346-403)."""
+        v = vertex[..., :3]
+        left = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+        right = jnp.pad(v, ((0, 0), (0, 1), (0, 0)))[:, 1:]
+        up = jnp.pad(v, ((1, 0), (0, 0), (0, 0)))[:-1]
+        down = jnp.pad(v, ((0, 1), (0, 0), (0, 0)))[1:]
+        hor = left - right
+        ver = up - down
+        n = jnp.cross(hor, ver)
+        ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / jnp.maximum(ln, 1e-12)
+        n = jnp.where(n[..., 2:3] > 0, -n, n)
+        zero_nb = ((v[..., 2] == 0) | (left[..., 2] == 0)
+                   | (right[..., 2] == 0) | (up[..., 2] == 0)
+                   | (down[..., 2] == 0))
+        n = jnp.where(zero_nb[..., None], 0.0, n)
+        # border sentinel
+        H, W = self.H, self.W
+        ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        border = (ii < 1) | (ii > H - 2) | (jj < 1) | (jj > W - 2)
+        return jnp.where(border[..., None], 1.0, n)
+
+    # ------------------------------------------------- candidate evaluation
+
+    def _eval_tier(self, table_slab, level, level_index, R, T, ss,
+                   vertex, normal, tsdf_flat, origin):
+        """Mean |tsdf - expected| per candidate for one tier.
+
+        table_slab: [C, 6]; level: static stride; level_index: traced offset.
+        Returns value [C]."""
+        H, W = self.H, self.W
+        K = self.K
+        dims = self.vol_dims
+        rows = jnp.arange(H // level) * level + level_index
+        cols = jnp.arange(W // level) * level + level_index
+        v = vertex[rows][:, cols].reshape(-1, 4)      # [P, 4]
+        n = normal[rows][:, cols].reshape(-1, 3)      # [P, 3]
+        pix_ok = (jnp.any(n != 0, axis=-1)
+                  & jnp.any(v[:, :3] != 0, axis=-1))
+
+        g = v[:, :3] @ R.T                            # [P, 3] rotated vertex
+        gt = v[:, 3]
+
+        t = table_slab[:, :3] * ss[None, :3]          # [C, 3]
+        qv = table_slab[:, 3:] * ss[None, 3:]         # [C, 3]
+        q0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qv * qv, -1), 1e-12))  # [C]
+
+        # Rotate by the (exactly unit) candidate quaternion:
+        # x' = g + 2*q0*(qv x g) + 2*qv x (qv x g)
+        c1 = jnp.cross(qv[:, None, :], g[None, :, :])         # [C, P, 3]
+        c2 = jnp.cross(qv[:, None, :], c1)
+        xw = (g[None, :, :] + 2.0 * q0[:, None, None] * c1 + 2.0 * c2
+              + t[:, None, :] + T[None, None, :])
+
+        # Reproject into the current camera; reject out-of-view pixels
+        rel = xw - T[None, None, :]
+        cam = rel @ R                                 # R^T @ rel
+        safe_z = jnp.where(cam[..., 2] != 0, cam[..., 2], 1e-9)
+        px = jnp.floor(cam[..., 0] * K[0, 0] / safe_z + K[0, 2] + 0.5)
+        py = jnp.floor(cam[..., 1] * K[1, 1] / safe_z + K[1, 2] + 0.5)
+        in_img = ((px >= 0) & (py >= 0) & (px < W) & (py < H)
+                  & (cam[..., 2] >= 0))
+
+        pos = jnp.round((xw - origin[None, None, :]) / self.voxel_size)
+        pos = pos.astype(jnp.int32)
+        vx, vy, vz = pos[..., 0], pos[..., 1], pos[..., 2]
+        in_vol = ((vx >= 1) & (vx < dims[0] - 1)
+                  & (vy >= 1) & (vy < dims[1] - 1)
+                  & (vz >= 1) & (vz < dims[2] - 1))
+        vx = jnp.clip(vx, 0, dims[0] - 1)
+        vy = jnp.clip(vy, 0, dims[1] - 1)
+        vz = jnp.clip(vz, 0, dims[2] - 1)
+        idx = vx * (dims[1] * dims[2]) + vy * dims[2] + vz
+        tsdf_v = tsdf_flat[idx]                       # [C, P] gather
+
+        valid = pix_ok[None, :] & in_img & in_vol
+        add = jnp.abs(tsdf_v - gt[None, :])
+        sv = jnp.sum(jnp.where(valid, add, 0.0), axis=1)
+        cnt = jnp.sum(valid, axis=1)
+        return sv / (cnt + 1e-6)
+
+    # ------------------------------------------------------ transform step
+
+    def _cal_transform(self, value, table_slab, ss):
+        """Weighted mean of the first <= count_search improving candidates
+        (reference cal_transform, ROtracker.py:606-708)."""
+        origin = value[0]
+        improving = value < origin
+        improving = improving.at[0].set(False)
+        cum = jnp.cumsum(improving)
+        take = improving & (cum <= self.count_search)
+        w = jnp.where(take, origin - value, 0.0)
+        sw = jnp.sum(w)
+        success = sw > 0
+        sw_safe = jnp.where(success, sw, 1.0)
+
+        raw_mean = jnp.sum(w[:, None] * table_slab, axis=0) / sw_safe  # [6]
+        qv_scaled = table_slab[:, 3:] * ss[None, 3:]
+        qw_cand = jnp.sqrt(jnp.maximum(
+            1.0 - jnp.sum(qv_scaled * qv_scaled, -1), 1e-12))
+        qw_mean = jnp.sum(w * qw_cand) / sw_safe
+
+        mean_t = raw_mean[:3] * ss[:3]
+        qxyz = raw_mean[3:] * ss[3:]
+        qlen = 1.0 / jnp.sqrt(qw_mean ** 2 + jnp.sum(qxyz * qxyz) + 1e-12)
+        mean_q = jnp.concatenate([qw_mean[None], qxyz]) * qlen
+
+        mean_tsdf = jnp.sum(w * value) / sw_safe
+        min_tsdf = jnp.where(success, mean_tsdf, origin)
+        mean_t = jnp.where(success, mean_t, 0.0)
+        mean_q = jnp.where(success, mean_q,
+                           jnp.asarray([1.0, 0.0, 0.0, 0.0]))
+        return success, min_tsdf, mean_t, mean_q
+
+    def _update_pst(self, min_tsdf, mean_t, mean_q):
+        """Search-size anneal from achieved fitness
+        (reference update_PST, ROtracker.py:495-534)."""
+        s = jnp.abs(jnp.concatenate([mean_t, mean_q[1:]])) + self.min_scale
+        nrm = jnp.sqrt(jnp.sum(s * s))
+        return (self.scaling_coefficient * min_tsdf * s / nrm
+                + self.min_scale)
+
+    # -------------------------------------------------------- tracking jit
+
+    def _build_track(self):
+        n_iters = self.particle_iter_lens
+        slab_table = self.slab_table
+        depth_level = self.depth_level
+
+        def track(tsdf_flat, origin, c2w_init, depth, key, ss_init):
+            vkey, = jax.random.split(key, 1)
+            vertex = self._compute_vertex(depth, vkey)
+            normal = self._compute_normal(vertex)
+
+            R0 = c2w_init[:3, :3]
+            T0 = c2w_init[:3, 3]
+
+            def iteration(i, carry):
+                (R, T, ss, prev_ss, count, level_index, success_prev,
+                 ema_flag, first_ok, last_origin) = carry
+                count = jnp.where(success_prev, count, 0)
+                branch = count % 3
+                slab = slab_table[count]
+
+                def make_branch(cls):
+                    def fn(operands):
+                        R, T, ss, level_index, slab = operands
+                        table = jax.lax.dynamic_index_in_dim(
+                            self.pst[cls], slab, axis=0, keepdims=False)
+                        value = self._eval_tier(
+                            table, self.class_level[cls], level_index,
+                            R, T, ss, vertex, normal, tsdf_flat, origin)
+                        return self._cal_transform(value, table, ss) + (value[0],)
+                    return fn
+
+                success, min_tsdf, mean_t, mean_q, origin_val = jax.lax.switch(
+                    branch, [make_branch(0), make_branch(1), make_branch(2)],
+                    (R, T, ss, level_index, slab))
+
+                # Pose increment (reference ROtracker.py:772-782)
+                qw, qx, qy, qz = mean_q[0], mean_q[1], mean_q[2], mean_q[3]
+                R_inc = jnp.asarray([
+                    [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                     2 * (qx * qz + qy * qw)],
+                    [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                     2 * (qy * qz - qx * qw)],
+                    [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                     1 - 2 * (qx * qx + qy * qy)],
+                ])
+                T_new = jnp.where(success, T + mean_t, T)
+                R_new = jnp.where(
+                    success,
+                    jnp.matmul(R_inc, R, precision=jax.lax.Precision.HIGHEST),
+                    R)
+                count_cap = min(n_iters - 1, 19)  # table has 20 entries
+                count_new = jnp.where(success & (count < count_cap),
+                                      count + 1, count)
+
+                if self.fix_level_index:
+                    level_index_new = jnp.asarray(1, jnp.int32)
+                else:
+                    level_index_new = level_index + 5
+                level_index_new = level_index_new % depth_level[count_new]
+
+                ss_new = self._update_pst(min_tsdf, mean_t, mean_q)
+                ema = ema_flag & success
+                ss_new = jnp.where(ema,
+                                   self.beta * ss_new
+                                   + (1 - self.beta) * prev_ss,
+                                   ss_new)
+                prev_ss_new = jnp.where((~ema) & success, ss_new, prev_ss)
+                ema_next = jnp.where(
+                    ema, True,
+                    jnp.where(success,
+                              jnp.asarray(self.iterative_scale),
+                              False))
+                first_ok = jnp.where(i == 0, success, first_ok)
+                return (R_new, T_new, ss_new, prev_ss_new, count_new,
+                        level_index_new, success, ema_next, first_ok,
+                        origin_val)
+
+            carry0 = (
+                R0, T0, ss_init, jnp.zeros(6, jnp.float32),
+                jnp.asarray(0, jnp.int32), jnp.asarray(5, jnp.int32),
+                jnp.asarray(True),   # so count isn't reset on iteration 0
+                jnp.asarray(False), jnp.asarray(False),
+                jnp.asarray(0.0, jnp.float32),
+            )
+            (R, T, ss, _prev, _c, _li, _s, _e, first_ok, origin_val) = \
+                jax.lax.fori_loop(0, n_iters, iteration, carry0)
+            c2w = jnp.eye(4, dtype=jnp.float32)
+            c2w = c2w.at[:3, :3].set(R).at[:3, 3].set(T)
+            return TrackResult(c2w, ss, first_ok, origin_val)
+
+        return track
+
+    # --------------------------------------------------------------- API
+
+    def init_search_size(self) -> jnp.ndarray:
+        return jnp.full((6,), self.init_size, jnp.float32)
+
+    def do_tracking(self, mv_state, c2w_init, depth, key,
+                    search_size=None) -> TrackResult:
+        """Optimize the pose of one frame against the moving volume.
+
+        mv_state: ops.tsdf.VolumeState of the local volume;
+        c2w_init: [4, 4] initial pose; depth: [H, W] meters.
+        (reference do_tracking/random_optimization, ROtracker.py:713-907;
+        search-size inheritance is dead in the reference runtime path —
+        random_optimization is always called with inherit=False — so each
+        frame starts from init_size unless `search_size` is given.)
+        """
+        if search_size is None:
+            search_size = self.init_search_size()
+        return self._track(
+            mv_state.tsdf.reshape(-1), mv_state.origin,
+            jnp.asarray(c2w_init, jnp.float32), depth, key, search_size)

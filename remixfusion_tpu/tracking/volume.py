@@ -1,0 +1,241 @@
+"""Moving local TSDF volume: fixed-shape device volume + host re-center policy.
+
+TPU-native rebuild of the reference moving_volume (model/Volume.py:19-619).
+The volume's SHAPE is fixed from config (extents 2*{x,y,z}_len at
+volume.voxel_size), so every kernel jits once; re-centering only moves the
+integer-rounded origin and shuffles content with a static-shape gather
+(ops.tsdf.shift_volume — the reference's `swap_rot_trans` CUDA kernel).
+The re-center decision logic ("center": per-axis translation thresholds;
+"more": dominant-view-direction boxes, Volume.py:930-1082) runs on the host
+between frames — it is a handful of scalar comparisons.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+
+class MovingVolume:
+    def __init__(self, cfg, init_pose: np.ndarray):
+        self.config = cfg
+        v = cfg["volume"]
+        self.voxel_size = float(v["voxel_size"])
+        self.trunc_margin = float(v["trunc"])
+        self.weight_clamp = float(v["weight_clamp"]) == 1.0
+        self.t_threshold = v["t_treshold"]
+        self.version = v["version"]
+        self.fix = (v["x_config"]["fix"], v["y_config"]["fix"],
+                    v["z_config"]["fix"])
+        self.lens = (v["x_config"]["len"], v["y_config"]["len"],
+                     v["z_config"]["len"])
+        self.ranges = (v["x_config"]["range"], v["y_config"]["range"],
+                       v["z_config"]["range"])
+        self.first_len = v["first_len"]
+        self.second_len = v["second_len"]
+        self.third_len = v["third_len"]
+        self.more_angel_t = v["more_angel_t"]
+
+        # Reference trackers of the last re-center anchor (model/traj.py).
+        self.kfx = float(init_pose[0, 3])
+        self.kfy = float(init_pose[1, 3])
+        self.kfz = float(init_pose[2, 3])
+        self.first_axis = -1
+
+        self.vol_bnds = self._center_bounds(init_pose)
+        if self.version == "more":
+            self.vol_bnds = self._more_bounds(init_pose)
+        self.vol_bnds = np.asarray(self.vol_bnds, np.float64)
+        self.dims = tuple(
+            int(math.ceil((self.vol_bnds[i, 1] - self.vol_bnds[i, 0])
+                          / self.voxel_size)) for i in range(3))
+        self.vol_bnds[:, 1] = self.vol_bnds[:, 0] + \
+            np.asarray(self.dims) * self.voxel_size
+        self.state = tsdf_ops.make_volume(self.dims, self.vol_bnds[:, 0])
+
+        self.start_id = 0
+        self.frame_to_vrange: Dict[Tuple[int, int], np.ndarray] = {}
+
+    # ------------------------------------------------------------- bounds
+
+    def _center_bounds(self, c2w) -> np.ndarray:
+        """Camera-centered box, integer-rounded center
+        (reference Volume.py:1133-1149)."""
+        center = np.round(c2w[:3, 3], 0)
+        self.kfx, self.kfy, self.kfz = (float(c2w[0, 3]), float(c2w[1, 3]),
+                                        float(c2w[2, 3]))
+        b = np.zeros((3, 2))
+        for i in range(3):
+            b[i, 0] = center[i] - self.lens[i]
+            b[i, 1] = center[i] + self.lens[i]
+        return b
+
+    def _axis_angles(self, c2w):
+        """Angle between the camera forward axis and each world axis,
+        projected per the 'more' policy (Volume.py:1204-1251)."""
+        cam_dir = c2w[:3, :3] @ np.array([0.0, 0.0, 1.0])
+        fixed_axis = None
+        for i, name in enumerate("xyz"):
+            if self.fix[i]:
+                fixed_axis = name
+        fixed = fixed_axis if fixed_axis is not None else "z"
+        out = []
+        for axis_vec in (np.array([1.0, 0, 0]), np.array([0, 1.0, 0]),
+                         np.array([0, 0, 1.0])):
+            if fixed == "x":
+                a, b = cam_dir[1:], axis_vec[1:]
+            elif fixed == "y":
+                a, b = cam_dir[0::2], axis_vec[0::2]
+            else:
+                a, b = cam_dir[:2], axis_vec[:2]
+            cos = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-3)
+            ang = float(np.degrees(np.arccos(np.clip(cos, -1, 1))))
+            flag = 1
+            if ang > 90:
+                ang = 180 - ang
+                flag = -1
+            out.append((ang, flag))
+        return out, fixed_axis
+
+    def _more_bounds(self, c2w) -> np.ndarray:
+        """Dominant-view-direction anisotropic box (Volume.py:1110-1202).
+
+        NOTE: with first_len != second_len the volume SHAPE would change when
+        the dominant axis flips; fixed shapes require first_len == second_len
+        (true of all shipped configs' defaults)."""
+        center = np.round(c2w[:3, 3], 0)
+        angles, fixed_axis = self._axis_angles(c2w)
+        order = np.argsort([a for a, _ in angles])
+        first, second, third = (int(order[0]), int(order[1]), int(order[2]))
+        first_flag = angles[first][1]
+        self.first_axis = first
+        self.kfx, self.kfy, self.kfz = (float(c2w[0, 3]), float(c2w[1, 3]),
+                                        float(c2w[2, 3]))
+        b = np.zeros((3, 2))
+        f = self.first_len
+        fwd = first_flag == 1
+        b[first, 0] = center[first] - (math.floor(f / 2) if fwd
+                                       else math.ceil(f / 2) + f)
+        b[first, 1] = center[first] + (math.ceil(f / 2) + f if fwd
+                                       else math.floor(f / 2))
+        b[second, 0] = center[second] - self.second_len
+        b[second, 1] = center[second] + self.second_len
+        b[third, 0] = center[third] - self.third_len
+        b[third, 1] = center[third] + self.third_len
+        if fixed_axis is not None:
+            i = "xyz".index(fixed_axis)
+            b[i, 0], b[i, 1] = self.ranges[i]
+        return b
+
+    # ----------------------------------------------------------- movement
+
+    def check_move(self, cur_id: int, c2w: np.ndarray) -> bool:
+        """Re-center policy; shifts the device volume when thresholds trip
+        (reference check_move_volume_new, Volume.py:930-1082). Returns True
+        if the volume moved; records the old bounds for the frame range."""
+        old_bnds = self.vol_bnds.copy()
+        moved = False
+
+        trans = np.array([c2w[0, 3] - self.kfx, c2w[1, 3] - self.kfy,
+                          c2w[2, 3] - self.kfz])
+        tmp = self.vol_bnds.copy()
+        any_axis = False
+        for i in range(3):
+            if abs(trans[i]) > self.t_threshold and not self.fix[i]:
+                tmp[i, :] += trans[i]
+                any_axis = True
+                if i == 0:
+                    self.kfx = float(c2w[0, 3])
+                elif i == 1:
+                    self.kfy = float(c2w[1, 3])
+                else:
+                    self.kfz = float(c2w[2, 3])
+        if any_axis:
+            tmp = np.round(tmp, 0)
+            if not np.array_equal(tmp, old_bnds):
+                self._shift_to(tmp)
+                moved = True
+
+        if self.version == "more":
+            angles, fixed_axis = self._axis_angles(c2w)
+            order = np.argsort([a for a, _ in angles])
+            first = int(order[0])
+            first_angle = angles[first][0]
+            if first != self.first_axis and first_angle < self.more_angel_t:
+                new_b = self._more_bounds(c2w)
+                if tuple(np.asarray(
+                        np.ceil((new_b[:, 1] - new_b[:, 0]) / self.voxel_size),
+                        int)) != self.dims:
+                    raise ValueError(
+                        "'more' re-center changed the volume shape; set "
+                        "first_len == second_len for fixed-shape volumes")
+                if not np.array_equal(new_b, old_bnds):
+                    self._shift_to(new_b)
+                    self.first_axis = first
+                    moved = True
+
+        if moved:
+            start = self.start_id
+            self.frame_to_vrange[(start, cur_id - 1)] = old_bnds
+            self.start_id = cur_id
+        return moved
+
+    def _shift_to(self, new_bnds: np.ndarray):
+        new_bnds = np.asarray(new_bnds, np.float64)
+        new_bnds[:, 1] = new_bnds[:, 0] + np.asarray(self.dims) * self.voxel_size
+        self.state = tsdf_ops.shift_volume(
+            self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),
+            self.voxel_size)
+        self.vol_bnds = new_bnds
+
+    def frameid_to_vrange(self, frame_id: int) -> np.ndarray:
+        """Bounds active when frame_id was tracked (Volume.py:1084-1105)."""
+        for (s, e), b in self.frame_to_vrange.items():
+            if s <= frame_id <= e:
+                return b
+        return self.vol_bnds
+
+    # ---------------------------------------------------------- integration
+
+    def integrate(self, rgb255: jnp.ndarray, depth: jnp.ndarray,
+                  K: jnp.ndarray, c2w: jnp.ndarray, obs_weight: float = 1.0):
+        """Fuse one frame (rgb in 0..255 floats like the reference's packed
+        colors, Volume.py:713-757)."""
+        im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
+        self.state = tsdf_ops.fuse_frame(
+            self.state, depth, rgb255, K, c2w,
+            voxel_size=self.voxel_size,
+            trunc_margin=self.trunc_margin,
+            obs_weight=obs_weight,
+            im_h=im_h, im_w=im_w,
+            weight_clamp=self.weight_clamp,
+        )
+
+    def filter_tsdf(self, weight_threshold: float):
+        self.state = tsdf_ops.filter_low_weight(self.state, weight_threshold)
+
+    # ------------------------------------------------------------- export
+
+    def get_mesh(self):
+        """Local-volume mesh via marching cubes (reference Volume.py:1280-1313;
+        the runtime path runs unmasked marching cubes at level 0)."""
+        from remixfusion_tpu.ops.marching_cubes import marching_cubes, vertex_normals
+
+        t = np.asarray(self.state.tsdf)
+        c = np.asarray(self.state.color)
+        verts, faces = marching_cubes(t, 0.0)
+        vi = np.clip(np.round(verts).astype(int), 0,
+                     np.asarray(self.dims) - 1)
+        colors = c[vi[:, 0], vi[:, 1], vi[:, 2]].astype(np.uint8)
+        verts_w = verts * self.voxel_size + np.asarray(self.state.origin)
+        norms = vertex_normals(verts_w, faces)
+        return verts_w, faces, norms, colors
+
+    def get_truncated_pc(self, trunc_tsdf: float = 0.5) -> np.ndarray:
+        return tsdf_ops.extract_truncated_points(
+            self.state, self.voxel_size, self.trunc_margin, trunc_tsdf)
