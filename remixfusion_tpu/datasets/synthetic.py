@@ -44,6 +44,32 @@ class SyntheticDataset(BaseDataset):
         self.orbit_degrees = float(syn.get("orbit_degrees", 120.0))
         s = self.room_size
         self.center = np.array([s / 2, s / 2, s / 2], np.float32)
+        # Clutter objects: extra spheres + boxes scattered deterministically.
+        # Pure planes are sliding-invariant for depth-only tracking; the
+        # clutter makes the pose fully observable like a real indoor scene.
+        rng = np.random.default_rng(7)
+        self.min_depth = float(syn.get("min_depth", 0.3))
+
+        def clear_of_orbit(center, radius):
+            # distance from the camera orbit circle (y = room center plane)
+            d_xy = np.hypot(center[0] - self.center[0],
+                            center[2] - self.center[2])
+            ring = np.hypot(d_xy - self.orbit_radius,
+                            center[1] - self.center[1])
+            return ring - radius > self.min_depth + 0.1
+
+        self.spheres = [(self.center.copy(), self.sphere_radius)]
+        while len(self.spheres) < 1 + int(syn.get("n_spheres", 8)):
+            c = rng.uniform(0.15 * s, 0.85 * s, 3)
+            r = rng.uniform(0.06 * s, 0.14 * s)
+            if clear_of_orbit(c, r):
+                self.spheres.append((c, r))
+        self.boxes = []
+        while len(self.boxes) < int(syn.get("n_boxes", 5)):
+            c = rng.uniform(0.15 * s, 0.85 * s, 3)
+            h = rng.uniform(0.05 * s, 0.16 * s, 3)
+            if clear_of_orbit(c, float(np.linalg.norm(h))):
+                self.boxes.append((c - h, c + h))
         self.poses = [self._pose(i) for i in range(self.n_frames)]
         self._cache = {}
 
@@ -67,26 +93,43 @@ class SyntheticDataset(BaseDataset):
         t_hit = np.full(flat_d.shape[0], np.inf)
         color = np.zeros((flat_d.shape[0], 3), np.float32)
 
-        # Sphere
-        oc = (o - self.center).astype(np.float64)
-        b = 2.0 * flat_d @ oc
         a = np.sum(flat_d * flat_d, axis=1)
-        c = oc @ oc - self.sphere_radius ** 2
-        disc = b * b - 4 * a * c
-        hit = disc > 0
-        sq = np.sqrt(np.maximum(disc, 0))
-        t1 = (-b - sq) / (2 * a)
-        t_s = np.where(hit & (t1 > 1e-6), t1, np.inf)
-        # Sphere color: smooth pattern from the surface normal
-        p = o[None, :] + t_s[:, None] * flat_d
-        n = (p - self.center) / self.sphere_radius
-        sph_col = 0.5 + 0.45 * np.stack(
-            [np.sin(3 * n[:, 0]) * np.cos(2 * n[:, 1]),
-             np.sin(4 * n[:, 1]),
-             np.cos(3 * n[:, 2])], axis=1)
-        upd = t_s < t_hit
-        t_hit = np.where(upd, t_s, t_hit)
-        color[upd] = sph_col[upd].astype(np.float32)
+        with np.errstate(invalid="ignore", over="ignore"):
+            # Spheres
+            for center, radius in self.spheres:
+                oc = (o - center).astype(np.float64)
+                b = 2.0 * flat_d @ oc
+                c = oc @ oc - radius ** 2
+                disc = b * b - 4 * a * c
+                hit = disc > 0
+                sq = np.sqrt(np.maximum(disc, 0))
+                t1 = (-b - sq) / (2 * a)
+                t_s = np.where(hit & (t1 > 1e-6), t1, np.inf)
+                upd = t_s < t_hit
+                p = o[None, :] + np.where(upd, t_s, 0.0)[:, None] * flat_d
+                n = (p - center) / radius
+                sph_col = 0.5 + 0.45 * np.stack(
+                    [np.sin(3 * n[:, 0]) * np.cos(2 * n[:, 1]),
+                     np.sin(4 * n[:, 1]),
+                     np.cos(3 * n[:, 2])], axis=1)
+                t_hit = np.where(upd, t_s, t_hit)
+                color[upd] = sph_col[upd].astype(np.float32)
+
+            # Boxes (slab method)
+            for lo, hi in self.boxes:
+                inv_d = np.where(flat_d != 0, 1.0 / flat_d, 1e30)
+                t0 = (lo[None, :] - o[None, :]) * inv_d
+                t1b = (hi[None, :] - o[None, :]) * inv_d
+                tmin = np.minimum(t0, t1b).max(axis=1)
+                tmax = np.maximum(t0, t1b).min(axis=1)
+                hit = (tmax > tmin) & (tmin > 1e-6)
+                t_b = np.where(hit, tmin, np.inf)
+                upd = t_b < t_hit
+                p = o[None, :] + np.where(upd, t_b, 0.0)[:, None] * flat_d
+                box_col = 0.35 + 0.6 * np.abs(
+                    np.sin(p * 4.0)).astype(np.float32)
+                t_hit = np.where(upd, t_b, t_hit)
+                color[upd] = box_col[upd].astype(np.float32)
 
         # Box walls (interior): planes x=0, x=s, y=0, y=s, z=0, z=s
         s = self.room_size
@@ -119,6 +162,8 @@ class SyntheticDataset(BaseDataset):
         z = np.where(np.isfinite(z), z, 0.0)
         far = self.config["cam"]["far"]
         z = np.where(z > far * 1.5, 0.0, z)
+        # real depth sensors report 0 below their minimum range
+        z = np.where(z < self.min_depth, 0.0, z)
         H, W = dirs.shape[:2]
         return (color.reshape(H, W, 3),
                 z.reshape(H, W).astype(np.float32))

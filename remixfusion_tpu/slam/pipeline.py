@@ -1,0 +1,495 @@
+"""Online SLAM pipeline: tracker + mapper in one process, one device.
+
+TPU-native rebuild of the reference's orchestration (run.py, mp_slam/slam.py,
+mp_slam/tracker.py, mp_slam/mapper.py:874-950). The reference runs tracking
+and mapping as two OS processes sharing CUDA tensors, synchronized by
+busy-wait polling on shared counters; here both are jitted step functions on
+one device and the polling handshake becomes a deterministic interleave with
+identical dataflow:
+
+  track frame i  ->  while tracking_idx > mapping_idx + map_every:
+                         run one mapping round at mapping_idx + keyframe_every
+
+JAX async dispatch overlaps the host-side bookkeeping with device compute;
+on a single chip the two stages serialize on the device exactly as the
+reference's two processes serialize on one GPU.
+
+State (all owned here):
+  - params/buffers        : SceneParams / SceneBuffers (device)
+  - est_c2w_data          : [N, 4, 4] np — tracker + BA-refined poses
+  - est_c2w_data_rel      : [N, 4, 4] np — keyframe-relative deltas
+  - RO_c2w_data           : [N, 4, 4] np — raw tracking poses
+  - MovingVolume          : local TSDF (device) + host re-center policy
+  - KeyFrameDatabase      : host ray store
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from remixfusion_tpu.core import pose as pose_math
+from remixfusion_tpu.datasets import get_dataset
+from remixfusion_tpu.mapping.keyframe import KeyFrameDatabase
+from remixfusion_tpu.mapping.mapper import Mapper
+from remixfusion_tpu.models.scene_rep import SceneRepresentation
+from remixfusion_tpu.tools.eval_ate import pose_evaluation
+from remixfusion_tpu.tracking.rotracker import ROTracker
+from remixfusion_tpu.tracking.volume import MovingVolume
+from remixfusion_tpu.utils.mesh import extract_mesh
+
+_FIRST_POSE_OVERRIDE = np.array(
+    [[0.0, 0.0, 1.0, 0.0],
+     [-1.0, 0.0, 0.0, 0.0],
+     [0.0, -1.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0, 1.0]], np.float32)
+
+
+class RemixFusionTPU:
+    def __init__(self, config):
+        self.config = config
+        self.dataset = get_dataset(config)
+        self.update_cam()
+        self.bound = np.asarray(config["mapping"]["bound"], np.float32)
+        self.mc_bound = np.asarray(
+            config["mapping"]["marching_cubes_bound"], np.float32)
+
+        n_frames = self.dataset.num_frames
+        kf_every = config["mapping"]["keyframe_every"]
+        self.num_kf = int(n_frames // kf_every + 1)
+
+        self.scene = SceneRepresentation(config, self.bound, self.num_kf)
+        self.params, self.buffers = self.scene.init(jax.random.PRNGKey(0))
+        self.mapper = Mapper(config, self.scene, self.params)
+        self.kfdb = KeyFrameDatabase(
+            config, self.dataset.H, self.dataset.W, self.num_kf,
+            self.dataset.num_rays_to_save)
+
+        self.est_c2w_data = np.zeros((n_frames, 4, 4), np.float32)
+        self.est_c2w_data_rel = np.zeros((n_frames, 4, 4), np.float32)
+        self.RO_c2w_data = np.zeros((n_frames, 4, 4), np.float32)
+        self.pose_gt = np.stack([np.asarray(p, np.float32)
+                                 for p in self.dataset.poses])
+
+        init_pose = self._first_pose(self.dataset[0])
+        self.mv = MovingVolume(config, init_pose)
+        self.tracker = ROTracker(
+            config, self.dataset.H, self.dataset.W, self.dataset.K(),
+            self.mv.dims, self.mv.voxel_size)
+        self.K_dev = jnp.asarray(self.dataset.K())
+        # Seed the local volume with the first frame (reference
+        # ROtracker.py:132 integrates frame 0 at tracker construction).
+        batch0 = self.dataset[0]
+        self.mv.integrate(
+            jnp.floor(jnp.asarray(batch0["rgb"]) * 255.0),
+            jnp.asarray(batch0["depth"]), self.K_dev, jnp.asarray(init_pose))
+
+        self.mapping_idx = 0
+        self.tracking_idx = 0
+        self._rng = jax.random.PRNGKey(config.get("seed", 42))
+        self._np_rng = np.random.default_rng(config.get("seed", 42))
+
+        self.out_dir = os.path.join(config["data"]["output"],
+                                    config["data"]["exp_name"])
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.stats = {"track_time": [], "map_time": []}
+
+    # --------------------------------------------------------------- setup
+
+    def update_cam(self):
+        """Intrinsics rescale/crop bookkeeping (reference run.py:62-84)."""
+        cfg = self.config["cam"]
+        if "crop_size" in cfg:
+            crop = cfg["crop_size"]
+            sx = (crop[1] + cfg["crop_edge"] * 2) / cfg["W"]
+            sy = (crop[0] + cfg["crop_edge"] * 2) / cfg["H"]
+            cfg["fx"] *= sx
+            cfg["fy"] *= sy
+            cfg["cx"] *= sx
+            cfg["cy"] *= sy
+            cfg["W"] = crop[1] + cfg["crop_edge"] * 2
+            cfg["H"] = crop[0] + cfg["crop_edge"] * 2
+        if cfg["crop_edge"] > 0:
+            cfg["H"] -= cfg["crop_edge"] * 2
+            cfg["W"] -= cfg["crop_edge"] * 2
+            cfg["cx"] -= cfg["crop_edge"]
+            cfg["cy"] -= cfg["crop_edge"]
+
+    def _first_pose(self, batch) -> np.ndarray:
+        """Dataset-specific first-frame pose overrides
+        (reference mapper.py:311-321, ROtracker.py:76-80)."""
+        c2w = np.asarray(batch["c2w"], np.float32).copy()
+        ds = self.config["dataset"]
+        if ds == "Largeindoor":
+            return _FIRST_POSE_OVERRIDE.copy()
+        if ds == "uhumans":
+            c2w[:3, :3] = _FIRST_POSE_OVERRIDE[:3, :3]
+        return c2w
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # ------------------------------------------------------- first frame
+
+    def first_frame_mapping(self):
+        """(reference mapper.py:284-364)"""
+        batch = self.dataset[0]
+        c2w = self._first_pose(batch)
+        self.est_c2w_data[0] = c2w
+        self.est_c2w_data_rel[0] = c2w
+        self.RO_c2w_data[0] = c2w
+        self.buffers = self.mapper.reset_global_volume(self.buffers)
+        self.buffers = self.mapper.integrate_keyframe(
+            self.buffers, jnp.asarray(batch["depth"]),
+            jnp.asarray(batch["rgb"]), self.K_dev, jnp.asarray(c2w),
+            self.bound)
+        self.buffers = self.buffers._replace(
+            rba=self.scene.rba.update_init_pose(
+                self.buffers.rba, 0, jnp.asarray(c2w)))
+
+        n_iters = self.config["mapping"]["first_iters"]
+        sample = self.config["mapping"]["sample"]
+        rays, ro, rd = [], [], []
+        dirs = np.asarray(batch["direction"]).reshape(-1, 3)
+        rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
+        depth = np.asarray(batch["depth"]).reshape(-1)
+        poses = np.tile(c2w[None], (sample, 1, 1))
+        for _ in range(n_iters):
+            idx = self._np_rng.choice(len(depth), sample, replace=False)
+            r = np.concatenate(
+                [dirs[idx], rgb[idx], depth[idx, None]], -1).astype(np.float32)
+            o, d = Mapper.rays_to_world_np(r, poses)
+            rays.append(r)
+            ro.append(o)
+            rd.append(d)
+        self.params, losses = self.mapper.map_step(
+            self.params, self.buffers, np.stack(rays), np.stack(ro),
+            np.stack(rd), self._next_key())
+
+        self.kfdb.add_keyframe(batch,
+                               filter_depth=self.config["mapping"]["filter_depth"])
+        return float(np.asarray(losses)[-1])
+
+    # ----------------------------------------------------------- tracking
+
+    def predict_current_pose(self, frame_id: int) -> np.ndarray:
+        """(reference tracker.py:54-72)"""
+        const_speed = self.config["tracking"]["const_speed"]
+        if frame_id == 1 or not const_speed:
+            return self.est_c2w_data[frame_id - 1].copy()
+        prev = self.RO_c2w_data[frame_id - 1]
+        prev_prev = self.RO_c2w_data[frame_id - 2]
+        pred = pose_math.predict_const_speed(
+            jnp.asarray(prev), jnp.asarray(prev_prev))
+        return np.asarray(pred)
+
+    def track_frame(self, frame_id: int, batch):
+        t0 = time.time()
+        init = self.predict_current_pose(frame_id)
+        depth = jnp.asarray(batch["depth"])
+        res = self.tracker.do_tracking(
+            self.mv.state, init, depth, self._next_key())
+        c2w = np.asarray(res.c2w)
+        self.est_c2w_data[frame_id] = c2w
+        self.RO_c2w_data[frame_id] = c2w
+
+        kf_every = self.config["mapping"]["keyframe_every"]
+        if frame_id % kf_every != 0:
+            kf_frame = (frame_id // kf_every) * kf_every
+            delta = pose_math.relative_to_key(
+                jnp.asarray(c2w), jnp.asarray(self.RO_c2w_data[kf_frame]))
+            self.est_c2w_data_rel[frame_id] = np.asarray(delta)
+
+        # post-processing: volume re-center + integration
+        # (reference ROtracker.post_processing, ROtracker.py:911-945)
+        self.mv.check_move(frame_id, c2w)
+        rgb255 = jnp.floor(jnp.asarray(batch["rgb"]) * 255.0)
+        self.mv.integrate(rgb255, depth, self.K_dev, jnp.asarray(c2w))
+        self.tracking_idx = frame_id
+        self.stats["track_time"].append(time.time() - t0)
+        return c2w
+
+    # ------------------------------------------------------------ mapping
+
+    def _assemble_batches(self, batch, cur_frame_id, n_iters, for_ba):
+        """Sample ray batches for one mapping/BA round.
+
+        Returns (rays [I,N,7], ids [I,N] kf indices, cur_kf_id)."""
+        kf_every = self.config["mapping"]["keyframe_every"]
+        sample = self.config["mapping"]["sample"]
+        cur_kf_id = cur_frame_id // kf_every
+        n_cur = self.mapper.current_ray_budget(len(self.kfdb))
+
+        dirs = np.asarray(batch["direction"]).reshape(-1, 3)
+        rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
+        depth = np.asarray(batch["depth"]).reshape(-1)
+
+        rays_b, ids_b = [], []
+        for _ in range(n_iters):
+            g_rays, g_fids = self.kfdb.sample_global_rays(sample)
+            idx = self._np_rng.choice(len(depth), n_cur, replace=False)
+            c_rays = np.concatenate(
+                [dirs[idx], rgb[idx], depth[idx, None]], -1).astype(np.float32)
+            rays = np.concatenate([g_rays, c_rays], 0)
+            ids = np.concatenate([
+                (g_fids // kf_every).astype(np.int32),
+                np.full(n_cur, cur_kf_id, np.int32)])
+            rays_b.append(rays)
+            ids_b.append(ids)
+        return np.stack(rays_b), np.stack(ids_b), cur_kf_id
+
+    def global_mapping(self, batch, cur_frame_id):
+        """(reference mapper.py:366-423)"""
+        kf_every = self.config["mapping"]["keyframe_every"]
+        iters = self.config["mapping"]["iters"]
+        rays_b, ids_b, cur_kf_id = self._assemble_batches(
+            batch, cur_frame_id, iters, for_ba=False)
+
+        # keyframe poses: tracker/BA estimates, with the current keyframe's
+        # pose taken from the RBA net (reference mapper.py:385-390)
+        kf_ids = np.arange(cur_kf_id + 1)
+        poses_kf = self.est_c2w_data[kf_ids * kf_every].copy()
+        poses_kf[-1] = np.asarray(self.scene.rba(
+            self.params.rba, self.buffers.rba,
+            jnp.asarray([cur_kf_id])))[0]
+
+        ro_b, rd_b = [], []
+        for i in range(iters):
+            per_ray_pose = poses_kf[ids_b[i]]
+            o, d = Mapper.rays_to_world_np(rays_b[i], per_ray_pose)
+            ro_b.append(o)
+            rd_b.append(d)
+        self.params, losses = self.mapper.map_step(
+            self.params, self.buffers, rays_b, np.stack(ro_b),
+            np.stack(rd_b), self._next_key())
+        return losses
+
+    def global_pose(self, batch, cur_frame_id):
+        """(reference mapper.py:425-520)"""
+        m = self.config["mapping"]
+        kf_every = m["keyframe_every"]
+        rays_b, ids_b, cur_kf_id = self._assemble_batches(
+            batch, cur_frame_id, m["BA_iters"], for_ba=True)
+        if not m["opt_pose"]:
+            return None
+        self.params, losses, poses_all = self.mapper.ba_step(
+            self.params, self.buffers, rays_b, ids_b, self._next_key())
+        poses_all = np.asarray(poses_all)
+
+        # write refined keyframe poses back (reference mapper.py:510-520)
+        if cur_kf_id >= 1:
+            kfupid = np.arange(cur_kf_id) * kf_every
+            self.est_c2w_data[kfupid] = poses_all[:cur_kf_id]
+            if m["optim_cur"]:
+                self.est_c2w_data[cur_frame_id] = poses_all[cur_kf_id]
+        return losses
+
+    def mapping_round(self, cur_frame_id):
+        """One mapping round at current_map_id (reference mapper.py:874-928)."""
+        t0 = time.time()
+        batch = self.dataset[cur_frame_id]
+        kf_every = self.config["mapping"]["keyframe_every"]
+
+        if self.mapping_idx % kf_every == 0:
+            cur_kf_id = cur_frame_id // kf_every
+            c2w = jnp.asarray(self.est_c2w_data[cur_frame_id])
+            self.buffers = self.buffers._replace(
+                rba=self.scene.rba.update_init_pose(
+                    self.buffers.rba, cur_kf_id, c2w))
+            self.buffers = self.mapper.integrate_keyframe(
+                self.buffers, jnp.asarray(batch["depth"]),
+                jnp.asarray(batch["rgb"]), self.K_dev, c2w, self.bound)
+
+        self.global_mapping(batch, cur_frame_id)
+        self.global_pose(batch, cur_frame_id)
+        self.mapping_idx = cur_frame_id
+
+        if self.mapping_idx % kf_every == 0:
+            self.kfdb.add_keyframe(
+                batch, filter_depth=self.config["mapping"]["filter_depth"])
+
+        mesh_vis = self.config["mesh"]["vis"]
+        if mesh_vis and self.mapping_idx % mesh_vis == 0 and self.mapping_idx:
+            if not self.config["mesh"]["only_final"]:
+                self.save_mesh(self.mapping_idx,
+                               voxel_size=self.config["mesh"]["voxel_eval"])
+            poses = self.convert_relative_pose(self.mapping_idx)
+            try:
+                pose_evaluation(self.pose_gt, poses, 1, self.out_dir,
+                                self.mapping_idx)
+            except Exception as e:  # e.g. degenerate GT
+                print("ATE eval skipped:", e)
+        self.stats["map_time"].append(time.time() - t0)
+
+    # ---------------------------------------------------------- main loop
+
+    def run(self):
+        cfg_path = os.path.join(self.out_dir, "config.json")
+        with open(cfg_path, "w") as f:
+            json.dump(self.config, f, indent=2, default=str)
+
+        print("First frame mapping...")
+        self.first_frame_mapping()
+        print("First frame mapping done")
+
+        n = self.dataset.num_frames
+        map_every = self.config["mapping"]["map_every"]
+        kf_every = self.config["mapping"]["keyframe_every"]
+        for idx in range(1, n):
+            batch = self.dataset[idx]
+            self.track_frame(idx, batch)
+            while self.tracking_idx > self.mapping_idx + map_every:
+                cur_map_id = self.mapping_idx + kf_every
+                if cur_map_id >= n:
+                    break
+                self.mapping_round(cur_map_id)
+            if idx % 50 == 0:
+                tt = np.mean(self.stats["track_time"][-50:])
+                mt = (np.mean(self.stats["map_time"][-10:])
+                      if self.stats["map_time"] else 0.0)
+                print(f"[{idx}/{n}] track {tt*1000:.1f} ms/frame, "
+                      f"map {mt*1000:.1f} ms/round")
+        self.finalize()
+
+    def finalize(self):
+        """Trajectory dump, final ATE, checkpoint, final mesh
+        (reference mapper.py:930-950)."""
+        poses_np = self.convert_relative_pose_npy()
+        np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
+        try:
+            pose_evaluation(self.pose_gt, poses_np, 1, self.out_dir,
+                            self.dataset.num_frames - 1)
+        except Exception as e:
+            print("final ATE skipped:", e)
+        if self.config["mapping"]["save_ckpt"]:
+            self.save_ckpt(os.path.join(self.out_dir, "checkpoint.npz"))
+        self.save_mesh_final(
+            voxel_size=self.config["mesh"]["voxel_final"])
+
+    # ------------------------------------------------------------- poses
+
+    def convert_relative_pose(self, idx=None):
+        """{frame: abs pose} with non-keyframes composed from their keyframe
+        (reference mapper.py:580-624)."""
+        kf_every = self.config["mapping"]["keyframe_every"]
+        end = (idx + 1) if idx is not None else len(self.est_c2w_data)
+        poses = {}
+        for i in range(end):
+            if i % kf_every == 0:
+                poses[i] = self.est_c2w_data[i]
+            else:
+                kf_frame = (i // kf_every) * kf_every
+                poses[i] = (self.est_c2w_data_rel[i]
+                            @ self.est_c2w_data[kf_frame])
+        return poses
+
+    def convert_relative_pose_npy(self, idx=None):
+        poses = self.convert_relative_pose(idx)
+        n = len(self.dataset)
+        out = np.zeros((n, 4, 4), np.float32)
+        for i, p in poses.items():
+            out[i] = p
+        return out
+
+    # ------------------------------------------------------------ outputs
+
+    def save_mesh(self, i, voxel_size=0.05):
+        path = os.path.join(self.out_dir, f"mesh_track{int(i)}.ply")
+        extract_mesh(self.scene, self.params, self.buffers, self.config,
+                     self.bound, self.mc_bound, voxel_size=voxel_size,
+                     mesh_savepath=path)
+
+    def save_mesh_final(self, voxel_size=0.05):
+        path = os.path.join(self.out_dir, "mesh.ply")
+        extract_mesh(self.scene, self.params, self.buffers, self.config,
+                     self.bound, self.mc_bound, voxel_size=voxel_size,
+                     mesh_savepath=path)
+        return path
+
+    def save_mesh_explicit(self, i, voxel_size=0.05):
+        path = os.path.join(self.out_dir, f"mesh_track{int(i)}_ex.ply")
+        extract_mesh(self.scene, self.params, self.buffers, self.config,
+                     self.bound, self.mc_bound, voxel_size=voxel_size,
+                     mesh_savepath=path, explicit_only=True)
+
+    def save_ckpt(self, path):
+        """Model + pose checkpoint (reference mapper.py:257-265)."""
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        np.savez(
+            path,
+            pose=self.est_c2w_data,
+            pose_rel=self.est_c2w_data_rel,
+            gbv=np.asarray(self.buffers.gbv),
+            gbw=np.asarray(self.buffers.gbw),
+            rba_init_c2w=np.asarray(self.buffers.rba.init_c2w),
+            rba_init_r=np.asarray(self.buffers.rba.init_r),
+            rba_init_t=np.asarray(self.buffers.rba.init_t),
+            **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat)},
+        )
+        print(f"Saved checkpoint to {path}")
+
+    def load_ckpt(self, path):
+        data = np.load(path)
+        self.est_c2w_data = data["pose"]
+        self.est_c2w_data_rel = data["pose_rel"]
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        new_flat = [jnp.asarray(data[f"param_{i}"]) for i in range(len(flat))]
+        self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
+        from remixfusion_tpu.models.rba import RBABuffers
+        self.buffers = self.buffers._replace(
+            gbv=jnp.asarray(data["gbv"]), gbw=jnp.asarray(data["gbw"]),
+            rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
+                           jnp.asarray(data["rba_init_r"]),
+                           jnp.asarray(data["rba_init_t"])))
+
+    # ----------------------------------------------------------- rendering
+
+    def render_frame(self, c2w, directions, gap: int = 1, target_depth=None):
+        """Render a full RGB-D frame with the current model (chunked); used
+        by rendering eval (reference slam.py:290-344). When `target_depth`
+        is given, sampling is depth-guided like training; otherwise rays use
+        uniform near..far samples."""
+        dirs = np.asarray(directions)[::gap, ::gap].reshape(-1, 3)
+        H = np.asarray(directions).shape[0] // gap
+        W = np.asarray(directions).shape[1] // gap
+        c2w = np.asarray(c2w, np.float32)
+        rays_d = dirs @ c2w[:3, :3].T
+        rays_o = np.tile(c2w[:3, 3][None], (len(dirs), 1))
+        if target_depth is not None:
+            td_all = np.asarray(target_depth)[::gap, ::gap].reshape(-1, 1)
+        else:
+            td_all = np.full((len(dirs), 1), -1.0, np.float32)
+
+        chunk = 4096
+        scene = self.scene
+
+        def render_chunk(p, b, k, o, d, td):
+            out = scene.render_rays(p, b, k, o, d, td)
+            return out["rgb_res_map"], out["depth_res_map"]
+
+        render_jit = jax.jit(render_chunk)
+        rgbs, depths = [], []
+        for i in range(0, len(dirs), chunk):
+            o = rays_o[i: i + chunk]
+            d = rays_d[i: i + chunk]
+            td = td_all[i: i + chunk]
+            pad = chunk - len(o)
+            if pad:
+                o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+                d = np.concatenate([d, np.tile(np.array([[0, 0, 1.0]],
+                                                        np.float32), (pad, 1))])
+                td = np.concatenate([td, np.full((pad, 1), -1.0, np.float32)])
+            rgb, dep = render_jit(self.params, self.buffers, self._next_key(),
+                                  jnp.asarray(o), jnp.asarray(d),
+                                  jnp.asarray(td, jnp.float32))
+            m = chunk - pad
+            rgbs.append(np.asarray(rgb)[:m])
+            depths.append(np.asarray(dep)[:m])
+        return (np.concatenate(rgbs).reshape(H, W, 3),
+                np.concatenate(depths).reshape(H, W))

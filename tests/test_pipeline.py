@@ -1,0 +1,72 @@
+import os
+
+import numpy as np
+
+from helpers import tiny_config
+from remixfusion_tpu.slam import RemixFusionTPU
+from remixfusion_tpu.tools.eval_ate import evaluate_ate
+
+
+def test_end_to_end_synthetic(tmp_path):
+    cfg = tiny_config(
+        data={"output": str(tmp_path), "exp_name": "e2e",
+              "synthetic": {"n_frames": 12, "orbit_degrees": 25.0}},
+        RO={"particle_iter_lens": 8, "depth_level": [4, 2, 1],
+            "init_size": 0.02, "count_search": 100},
+        volume={"voxel_size": 0.025},
+        mapping={"first_iters": 15, "iters": 2, "BA_iters": 2,
+                 "keyframe_every": 2, "map_every": 2, "sample": 128},
+        mesh={"vis": 0, "voxel_final": 0.1},
+    )
+    slam = RemixFusionTPU(cfg)
+    slam.run()
+
+    # All tracked poses populated and finite
+    assert np.isfinite(slam.est_c2w_data).all()
+    assert (np.abs(np.linalg.det(slam.est_c2w_data[:, :3, :3]) - 1.0)
+            < 1e-2).all()
+
+    # Trajectory close to GT (clean synthetic depth, mild motion)
+    poses_np = slam.convert_relative_pose_npy()
+    gt = slam.pose_gt
+    stats = evaluate_ate(
+        {float(i): gt[i] for i in range(len(gt))},
+        {float(i): poses_np[i] for i in range(len(poses_np))})
+    assert stats["rmse"] < 0.10, stats
+
+    # Outputs written
+    out = os.path.join(str(tmp_path), "e2e")
+    assert os.path.exists(os.path.join(out, "all_poses.npy"))
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert os.path.exists(os.path.join(out, "mesh.ply"))
+    assert os.path.exists(os.path.join(out, "tracking_result.txt"))
+
+    # Mesh sanity: inside bounds, non-trivial
+    from remixfusion_tpu.utils.meshio import read_ply
+    verts, faces = read_ply(os.path.join(out, "mesh.ply"))
+    assert len(verts) > 100 and faces is not None and len(faces) > 100
+    assert verts.min() >= -0.5 and verts.max() <= 4.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config(
+        data={"output": str(tmp_path), "exp_name": "ckpt",
+              "synthetic": {"n_frames": 4, "orbit_degrees": 8.0}},
+        RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1]},
+        mapping={"first_iters": 4, "iters": 1, "BA_iters": 1,
+                 "keyframe_every": 2, "map_every": 2, "sample": 64,
+                 "save_ckpt": True},
+        mesh={"vis": 0, "voxel_final": 0.2},
+    )
+    slam = RemixFusionTPU(cfg)
+    slam.run()
+    path = os.path.join(str(tmp_path), "ckpt", "checkpoint.npz")
+    assert os.path.exists(path)
+
+    slam2 = RemixFusionTPU(cfg)
+    slam2.load_ckpt(path)
+    assert np.allclose(slam2.est_c2w_data, slam.est_c2w_data)
+    assert np.allclose(np.asarray(slam2.params.hash_table),
+                       np.asarray(slam.params.hash_table))
+    assert np.allclose(np.asarray(slam2.buffers.gbw),
+                       np.asarray(slam.buffers.gbw))
