@@ -1,0 +1,99 @@
+"""Headline benchmark: online tracking+mapping throughput on one TPU chip.
+
+Runs the full online SLAM loop (randomized-optimization tracking every frame
++ neural mapping/BA round every map_every frames) on the analytic synthetic
+sequence at production settings (640x480, full 10240/3072/1024 PST tiers, 20
+particle iterations, BS3D-like volumes) and reports steady-state FPS,
+excluding compile/warmup frames.
+
+Baseline: the driver target of 15 FPS online tracking+mapping on one TPU
+v5e chip (BASELINE.md; the reference publishes no in-repo numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from remixfusion_tpu.utils.runtime import setup_compilation_cache
+
+setup_compilation_cache()
+
+
+def main():
+    from remixfusion_tpu.config import load_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "30"))
+
+    cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "configs/Synthetic/synthetic.yaml"))
+    cfg["data"]["synthetic"]["n_frames"] = n_frames
+    cfg["data"]["synthetic"]["orbit_degrees"] = 3.0 * n_frames  # ~3 deg/frame
+    cfg["data"]["output"] = "output/bench"
+    cfg["data"]["exp_name"] = "bench"
+    cfg["mesh"]["vis"] = 0          # no periodic eval inside the timed loop
+    cfg["mapping"]["first_iters"] = 100
+
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+
+    # Pre-render all frames so host-side ray tracing of the synthetic scene
+    # doesn't pollute the device-throughput measurement.
+    frames = [slam.dataset[i] for i in range(n_frames)]
+
+    map_every = cfg["mapping"]["map_every"]
+    kf_every = cfg["mapping"]["keyframe_every"]
+    t_start = None
+    for idx in range(1, n_frames):
+        if idx == warmup:
+            t_start = time.perf_counter()
+        slam.track_frame(idx, frames[idx])
+        while slam.tracking_idx > slam.mapping_idx + map_every:
+            cur_map_id = slam.mapping_idx + kf_every
+            if cur_map_id >= n_frames:
+                break
+            slam.mapping_round(cur_map_id)
+    # Force completion of in-flight device work before stopping the clock.
+    np.asarray(slam.mv.state.weight[0, 0, 0])
+    np.asarray(slam.params.hash_table[0])
+    elapsed = time.perf_counter() - t_start
+    measured_frames = n_frames - 1 - warmup + 1
+    fps = measured_frames / elapsed
+
+    track_ms = 1000 * np.mean(slam.stats["track_time"][warmup:])
+    map_ms = (1000 * np.mean(slam.stats["map_time"][-20:])
+              if slam.stats["map_time"] else 0.0)
+    print(f"# frames={measured_frames} elapsed={elapsed:.2f}s "
+          f"track={track_ms:.1f}ms/frame map_round={map_ms:.1f}ms",
+          file=sys.stderr)
+
+    ate = float("nan")
+    try:
+        from remixfusion_tpu.tools.eval_ate import evaluate_ate
+        poses = slam.convert_relative_pose_npy()
+        gt = slam.pose_gt
+        stats = evaluate_ate(
+            {float(i): gt[i] for i in range(n_frames)},
+            {float(i): poses[i] for i in range(n_frames)})
+        ate = stats["rmse"] * 100
+        print(f"# ate_rmse_cm={ate:.3f}", file=sys.stderr)
+    except Exception as e:
+        print(f"# ate eval failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "online tracking+mapping FPS "
+                  "(synthetic 640x480, BS3D-like settings, 1 chip)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 15.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

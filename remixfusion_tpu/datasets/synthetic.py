@@ -9,6 +9,8 @@ always looking at the sphere.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from remixfusion_tpu.datasets.base import BaseDataset
@@ -168,10 +170,30 @@ class SyntheticDataset(BaseDataset):
         return (color.reshape(H, W, 3),
                 z.reshape(H, W).astype(np.float32))
 
+    def _disk_cache_path(self, index):
+        import hashlib
+        key = hashlib.md5(repr((
+            self.n_frames, self.room_size, self.sphere_radius,
+            self.orbit_radius, self.orbit_degrees, self.min_depth,
+            self.H, self.W, float(self.fx), float(self.fy),
+            float(self.cx), float(self.cy),
+            len(self.spheres), len(self.boxes))).encode()).hexdigest()[:12]
+        d = os.path.join("/tmp", "rmx_syn_cache", key)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{index}.npz")
+
     def __getitem__(self, index):
         if index not in self._cache:
             c2w = self.poses[index]
-            rgb, depth = self.render(c2w)
+            path = self._disk_cache_path(index)
+            if os.path.exists(path):
+                data = np.load(path)
+                rgb = data["rgb"].astype(np.float32) / 255.0
+                depth = data["depth"]
+            else:
+                rgb, depth = self.render(c2w)
+                np.savez_compressed(
+                    path, rgb=(rgb * 255).astype(np.uint8), depth=depth)
             self._cache[index] = {
                 "frame_id": index,
                 "c2w": c2w,

@@ -157,6 +157,86 @@ class DenseGridEncoding:
         return self.inner(table, x)
 
 
+class TriplaneEncoding:
+    """Factorized triplane + triline encoding (TensoRF-VM style), trainable.
+
+    A TPU-first alternative to the multiresolution hash grid: features are
+    products of bilinear samples of three axis-aligned 2D planes and linear
+    samples of the three complementary 1D lines, concatenated over levels.
+    Per query point this costs 3 axes x L levels x 4 plane corners + 2 line
+    ends of F-wide rows — ~3x fewer and wider random-row gathers than the
+    hash grid's 16 levels x 8 corners of 2-wide rows, which is what TPU
+    gather/scatter throughput is priced on. Quality class: TensoRF /
+    factorized-field (sufficient for the *residual* field of the mixed
+    representation, where the explicit grid carries the coarse geometry).
+    """
+
+    def __init__(self, n_levels: int = 3, level_dim: int = 4,
+                 base_resolution: int = 64, desired_resolution: int = 512):
+        self.n_levels = n_levels
+        self.level_dim = level_dim
+        if n_levels > 1:
+            growth = (desired_resolution / base_resolution) ** (1.0 / (n_levels - 1))
+        else:
+            growth = 1.0
+        self.resolutions = [
+            min(int(round(base_resolution * growth ** l)), 2048)
+            for l in range(n_levels)]
+        self.out_dim = 3 * n_levels * level_dim
+
+    def init(self, key):
+        params = {}
+        keys = jax.random.split(key, 6 * self.n_levels)
+        ki = 0
+        for l, res in enumerate(self.resolutions):
+            for a in range(3):
+                params[f"plane_{l}_{a}"] = jax.random.uniform(
+                    keys[ki], (res * res, self.level_dim), jnp.float32,
+                    -1e-2, 1e-2)
+                ki += 1
+                # lines start near 1 so plane*line ~ plane initially
+                params[f"line_{l}_{a}"] = 1.0 + jax.random.uniform(
+                    keys[ki], (res, self.level_dim), jnp.float32, -1e-2, 1e-2)
+                ki += 1
+        return params
+
+    @staticmethod
+    def _bilinear(plane, res, u, v):
+        """plane: [res*res, F]; u, v in [0, 1] -> [N, F]."""
+        pu = jnp.clip(u * (res - 1), 0.0, res - 1 - 1e-6)
+        pv = jnp.clip(v * (res - 1), 0.0, res - 1 - 1e-6)
+        iu = jnp.floor(pu).astype(jnp.int32)
+        iv = jnp.floor(pv).astype(jnp.int32)
+        fu = (pu - iu)[:, None]
+        fv = (pv - iv)[:, None]
+        base = iu * res + iv
+        p00 = plane[base]
+        p01 = plane[base + 1]
+        p10 = plane[base + res]
+        p11 = plane[base + res + 1]
+        return ((1 - fu) * ((1 - fv) * p00 + fv * p01)
+                + fu * ((1 - fv) * p10 + fv * p11))
+
+    @staticmethod
+    def _linear(line, res, w):
+        pw = jnp.clip(w * (res - 1), 0.0, res - 1 - 1e-6)
+        iw = jnp.floor(pw).astype(jnp.int32)
+        fw = (pw - iw)[:, None]
+        return (1 - fw) * line[iw] + fw * line[iw + 1]
+
+    def __call__(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, 3] in [0, 1] -> [N, 3 * n_levels * level_dim]."""
+        feats = []
+        axes = ((0, 1, 2), (1, 2, 0), (2, 0, 1))  # (u, v, line axis)
+        for l, res in enumerate(self.resolutions):
+            for a, (ua, va, wa) in enumerate(axes):
+                pl = self._bilinear(params[f"plane_{l}_{a}"], res,
+                                    x[:, ua], x[:, va])
+                ln = self._linear(params[f"line_{l}_{a}"], res, x[:, wa])
+                feats.append(pl * ln)
+        return jnp.concatenate(feats, axis=-1)
+
+
 class OneBlobEncoding:
     """OneBlob encoding (n_bins per input dim).
 
@@ -272,7 +352,11 @@ def get_encoder(
     """Encoder factory with the reference's name-matching rules
     (model/encodings.py:6-103). Returns (encoder, out_dim)."""
     enc = encoding.lower()
-    if "dense" in enc:
+    if "triplane" in enc:
+        e = TriplaneEncoding(n_levels=3, level_dim=4,
+                             base_resolution=64,
+                             desired_resolution=min(desired_resolution, 1024))
+    elif "dense" in enc:
         e = DenseGridEncoding(4, level_dim, base_resolution, desired_resolution)
     elif "hash" in enc or "tiled" in enc:
         e = HashGridEncoding(n_levels, level_dim, base_resolution,

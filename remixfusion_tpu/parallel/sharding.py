@@ -1,0 +1,112 @@
+"""Multi-chip scaling via jax.sharding over a device Mesh.
+
+The reference is strictly single-GPU (run.py:28 hardcodes cuda:0); its only
+parallelism is the tracker/mapper process pair (SURVEY.md §2.7). This module
+is the TPU-native scale-out design:
+
+  - **Mapping is data-parallel over rays** ("data" mesh axis): the hash
+    table / decoder / RBA parameters are replicated, each chip renders and
+    differentiates its shard of the ray batch, and XLA inserts the psum for
+    the gradient all-reduce over ICI. This is the standard DP recipe — with
+    2048+ rays x 59 samples per iteration there is ample arithmetic per chip.
+  - **Explicit-volume fusion is spatially sharded** along the voxel grid's
+    leading axis: each chip updates its slab of the [R, R, R] grid against
+    the (replicated, small) RGB-D frame — embarrassingly parallel, zero
+    collectives, exactly the layout the grid already has for mapping-side
+    gathers.
+  - Tracking stays replicated (a single frame's particle evaluation already
+    saturates one chip's gather pipeline; candidates could be sharded on
+    "data" as a future lever).
+
+Everything compiles and runs on a virtual CPU mesh
+(xla_force_host_platform_device_count) for testing without TPU pods.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def sharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
+    """Build a jitted data-parallel mapping train step over `mesh`.
+
+    Returns step(params, buffers, opt_state, rays [N,7], rays_o [N,3],
+    rays_d [N,3], key) -> (params, opt_state, loss). N must divide the mesh
+    size. Params/buffers replicated; ray arrays sharded on axis 0.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    rgb_w, depth_w, sdf_w, fs_w = loss_weights
+
+    def loss_fn(params, buffers, rays, rays_o, rays_d, key):
+        ret = scene.mapping_losses(
+            params, buffers, key, rays_o, rays_d, rays[:, 3:6], rays[:, 6:7])
+        return (rgb_w * ret["rgb_res_loss"]
+                + depth_w * ret["depth_res_loss"]
+                + sdf_w * ret["sdf_res_loss"]
+                + fs_w * ret["fs_res_loss"])
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, shard, shard, shard, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 2),
+    )
+    def step(params, buffers, opt_state, rays, rays_o, rays_d, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, buffers, rays, rays_o, rays_d, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def sharded_fuse_frame(mesh: Mesh, gbv_resolution: int, trunc_margin: float,
+                       im_h: int, im_w: int):
+    """Build a jitted spatially-sharded global-volume fusion step.
+
+    The [R, R, R, 4] grid and [R, R, R] weights are sharded along axis 0
+    ("data" mesh axis used spatially); the frame, intrinsics and pose are
+    replicated. Each chip fuses its slab — no collectives.
+    """
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    repl = NamedSharding(mesh, P())
+    slab4 = NamedSharding(mesh, P("data", None, None, None))
+    slab3 = NamedSharding(mesh, P("data", None, None))
+
+    @partial(
+        jax.jit,
+        in_shardings=(slab4, slab3, repl, repl, repl, repl, repl),
+        out_shardings=(slab4, slab3),
+        donate_argnums=(0, 1),
+    )
+    def fuse(gbv, gbw, depth, rgb, K, c2w, bound):
+        vol = tsdf_ops.VolumeState(
+            tsdf=gbv[..., 0], weight=gbw, color=gbv[..., 1:],
+            origin=bound[:, 0])
+        out = tsdf_ops.fuse_frame(
+            vol, depth, rgb, K, c2w,
+            voxel_size=1.0 / gbv_resolution,
+            trunc_margin=trunc_margin,
+            obs_weight=1.0, im_h=im_h, im_w=im_w,
+            global_mode=True, scale=bound[:, 1] - bound[:, 0],
+            voxel_size_is_normalized=True)
+        return (jnp.concatenate([out.tsdf[..., None], out.color], -1),
+                out.weight)
+
+    return fuse

@@ -155,22 +155,32 @@ class RemixFusionTPU:
 
         n_iters = self.config["mapping"]["first_iters"]
         sample = self.config["mapping"]["sample"]
-        rays, ro, rd = [], [], []
         dirs = np.asarray(batch["direction"]).reshape(-1, 3)
         rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
         depth = np.asarray(batch["depth"]).reshape(-1)
         poses = np.tile(c2w[None], (sample, 1, 1))
-        for _ in range(n_iters):
-            idx = self._np_rng.choice(len(depth), sample, replace=False)
-            r = np.concatenate(
-                [dirs[idx], rgb[idx], depth[idx, None]], -1).astype(np.float32)
-            o, d = Mapper.rays_to_world_np(r, poses)
-            rays.append(r)
-            ro.append(o)
-            rd.append(d)
-        self.params, losses = self.mapper.map_step(
-            self.params, self.buffers, np.stack(rays), np.stack(ro),
-            np.stack(rd), self._next_key())
+        # Chunk the warmup into fixed-size scans: one compiled variant serves
+        # every first_iters setting, and no single device program grows with
+        # the iteration count.
+        chunk = min(25, n_iters)
+        losses = None
+        done = 0
+        while done < n_iters:
+            n = min(chunk, n_iters - done)
+            rays, ro, rd = [], [], []
+            for _ in range(n):
+                idx = self._np_rng.choice(len(depth), sample, replace=False)
+                r = np.concatenate(
+                    [dirs[idx], rgb[idx], depth[idx, None]],
+                    -1).astype(np.float32)
+                o, d = Mapper.rays_to_world_np(r, poses)
+                rays.append(r)
+                ro.append(o)
+                rd.append(d)
+            self.params, losses = self.mapper.map_step(
+                self.params, self.buffers, np.stack(rays), np.stack(ro),
+                np.stack(rd), self._next_key())
+            done += n
 
         self.kfdb.add_keyframe(batch,
                                filter_depth=self.config["mapping"]["filter_depth"])

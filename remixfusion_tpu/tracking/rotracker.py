@@ -156,25 +156,41 @@ class ROTracker:
         qv = table_slab[:, 3:] * ss[None, 3:]         # [C, 3]
         q0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qv * qv, -1), 1e-12))  # [C]
 
-        # Rotate by the (exactly unit) candidate quaternion:
-        # x' = g + 2*q0*(qv x g) + 2*qv x (qv x g)
-        c1 = jnp.cross(qv[:, None, :], g[None, :, :])         # [C, P, 3]
-        c2 = jnp.cross(qv[:, None, :], c1)
-        xw = (g[None, :, :] + 2.0 * q0[:, None, None] * c1 + 2.0 * c2
-              + t[:, None, :] + T[None, None, :])
+        # Everything below is written as explicit per-component arithmetic —
+        # no dot/cross ops — so XLA fuses the whole [C, P] transform +
+        # projection + index computation into the gather and the masked
+        # reduction, never materializing [C, P, 3] intermediates in HBM.
+        gx, gy, gz = g[None, :, 0], g[None, :, 1], g[None, :, 2]  # [1, P]
+        qx, qy, qz = qv[:, 0, None], qv[:, 1, None], qv[:, 2, None]  # [C, 1]
+        q0c = q0[:, None]
 
-        # Reproject into the current camera; reject out-of-view pixels
-        rel = xw - T[None, None, :]
-        cam = rel @ R                                 # R^T @ rel
-        safe_z = jnp.where(cam[..., 2] != 0, cam[..., 2], 1e-9)
-        px = jnp.floor(cam[..., 0] * K[0, 0] / safe_z + K[0, 2] + 0.5)
-        py = jnp.floor(cam[..., 1] * K[1, 1] / safe_z + K[1, 2] + 0.5)
-        in_img = ((px >= 0) & (py >= 0) & (px < W) & (py < H)
-                  & (cam[..., 2] >= 0))
+        # c1 = qv x g ; c2 = qv x c1 ; x' = g + 2*q0*c1 + 2*c2 + t + T
+        c1x = qy * gz - qz * gy
+        c1y = qz * gx - qx * gz
+        c1z = qx * gy - qy * gx
+        c2x = qy * c1z - qz * c1y
+        c2y = qz * c1x - qx * c1z
+        c2z = qx * c1y - qy * c1x
+        xw = gx + 2.0 * q0c * c1x + 2.0 * c2x + t[:, 0, None] + T[0]
+        yw = gy + 2.0 * q0c * c1y + 2.0 * c2y + t[:, 1, None] + T[1]
+        zw = gz + 2.0 * q0c * c1z + 2.0 * c2z + t[:, 2, None] + T[2]
 
-        pos = jnp.round((xw - origin[None, None, :]) / self.voxel_size)
-        pos = pos.astype(jnp.int32)
-        vx, vy, vz = pos[..., 0], pos[..., 1], pos[..., 2]
+        # Reproject into the current camera (R^T @ (x' - T))
+        rx = xw - T[0]
+        ry = yw - T[1]
+        rz = zw - T[2]
+        cam_x = R[0, 0] * rx + R[1, 0] * ry + R[2, 0] * rz
+        cam_y = R[0, 1] * rx + R[1, 1] * ry + R[2, 1] * rz
+        cam_z = R[0, 2] * rx + R[1, 2] * ry + R[2, 2] * rz
+        safe_z = jnp.where(cam_z != 0, cam_z, 1e-9)
+        px = jnp.floor(cam_x * K[0, 0] / safe_z + K[0, 2] + 0.5)
+        py = jnp.floor(cam_y * K[1, 1] / safe_z + K[1, 2] + 0.5)
+        in_img = (px >= 0) & (py >= 0) & (px < W) & (py < H) & (cam_z >= 0)
+
+        inv_vox = 1.0 / self.voxel_size
+        vx = jnp.round((xw - origin[0]) * inv_vox).astype(jnp.int32)
+        vy = jnp.round((yw - origin[1]) * inv_vox).astype(jnp.int32)
+        vz = jnp.round((zw - origin[2]) * inv_vox).astype(jnp.int32)
         in_vol = ((vx >= 1) & (vx < dims[0] - 1)
                   & (vy >= 1) & (vy < dims[1] - 1)
                   & (vz >= 1) & (vz < dims[2] - 1))
