@@ -61,7 +61,8 @@ def main():
             slam.mapping_round(cur_map_id)
     # Force completion of in-flight device work before stopping the clock.
     np.asarray(slam.mv.state.weight[0, 0, 0])
-    np.asarray(slam.params.hash_table[0])
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(slam.params.hash_table)[0]).ravel()[0]
     elapsed = time.perf_counter() - t_start
     measured_frames = n_frames - 1 - warmup + 1
     fps = measured_frames / elapsed

@@ -216,11 +216,32 @@ class RemixFusionTPU:
                 jnp.asarray(c2w), jnp.asarray(self.RO_c2w_data[kf_frame]))
             self.est_c2w_data_rel[frame_id] = np.asarray(delta)
 
+        if self.config.get("print_ape"):
+            gt = self.pose_gt[frame_id]
+            ape_b = np.abs(gt[:3, 3] - init[:3, 3]).mean()
+            ape_a = np.abs(gt[:3, 3] - c2w[:3, 3]).mean()
+            tag = "success" if ape_a < ape_b else "fail"
+            print(f"final {tag} ape: {ape_b:.6f}->{ape_a:.6f}")
+
         # post-processing: volume re-center + integration
         # (reference ROtracker.post_processing, ROtracker.py:911-945)
         self.mv.check_move(frame_id, c2w)
         rgb255 = jnp.floor(jnp.asarray(batch["rgb"]) * 255.0)
         self.mv.integrate(rgb255, depth, self.K_dev, jnp.asarray(c2w))
+
+        # optional local-volume mesh dumps (reference RO.save_volume path,
+        # ROtracker.py:941-945)
+        ro_cfg = self.config["RO"]
+        if ro_cfg.get("save_volume") and (
+                frame_id % ro_cfg.get("save_freq", 1000) == 0
+                or frame_id == self.dataset.num_frames - 1):
+            from remixfusion_tpu.utils.meshio import write_ply_mesh
+            ro_dir = os.path.join(self.out_dir, "RO")
+            os.makedirs(ro_dir, exist_ok=True)
+            verts, faces, norms, colors = self.mv.get_mesh()
+            write_ply_mesh(os.path.join(ro_dir, f"{frame_id}.ply"),
+                           verts, faces, colors=colors, normals=norms)
+
         self.tracking_idx = frame_id
         self.stats["track_time"].append(time.time() - t0)
         return c2w
@@ -323,6 +344,12 @@ class RemixFusionTPU:
         if self.mapping_idx % kf_every == 0:
             self.kfdb.add_keyframe(
                 batch, filter_depth=self.config["mapping"]["filter_depth"])
+
+        # mesh video snapshots (reference mapper.py:909-913)
+        video = self.config.get("video", {})
+        if video.get("save") and self.mapping_idx % video.get(
+                "save_freq", 20) == 0:
+            self.save_mesh(self.mapping_idx, voxel_size=0.075)
 
         mesh_vis = self.config["mesh"]["vis"]
         if mesh_vis and self.mapping_idx % mesh_vis == 0 and self.mapping_idx:
@@ -457,6 +484,66 @@ class RemixFusionTPU:
             rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
                            jnp.asarray(data["rba_init_r"]),
                            jnp.asarray(data["rba_init_t"])))
+
+    def update_GBV(self, cur_id):
+        """Re-fuse the explicit global volume from all keyframes at their
+        current (BA-refined) poses (reference mapper.py:523-534 — defined
+        there but not called in the run loop; exposed for offline use)."""
+        kf_every = self.config["mapping"]["keyframe_every"]
+        self.buffers = self.mapper.reset_global_volume(self.buffers)
+        for i in range(0, cur_id, kf_every):
+            batch = self.dataset[i]
+            self.buffers = self.mapper.integrate_keyframe(
+                self.buffers, jnp.asarray(batch["depth"]),
+                jnp.asarray(batch["rgb"]), self.K_dev,
+                jnp.asarray(self.est_c2w_data[i]), self.bound)
+
+    def render_img(self, frame_id, gt_depth, gt_rgb, cam_pose, directions,
+                   prefix=None, gap=4):
+        """Side-by-side render/GT/residual comparison figure
+        (reference slam.py:416-528)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        gt_depth = np.asarray(gt_depth)[::gap, ::gap]
+        gt_rgb = np.asarray(gt_rgb)[::gap, ::gap]
+        color_np, depth_np = self.render_frame(
+            cam_pose, directions, gap=gap, target_depth=None)
+        depth_res = np.abs(gt_depth - depth_np)
+        depth_res[gt_depth == 0] = 0
+        color_res = np.clip(np.abs(gt_rgb - color_np), 0, 1)
+        color_res[gt_depth == 0] = 0
+        color_np = np.clip(color_np, 0, 1)
+        depth_np = depth_np.copy()
+        depth_np[gt_depth == 0] = 0
+
+        fig, axs = plt.subplots(2, 3)
+        fig.tight_layout()
+        vmax = max(float(gt_depth.max()), 1e-3)
+        panels = [
+            (gt_depth, "Input Depth", "plasma", vmax),
+            (depth_np, "Generated Depth", "plasma", vmax),
+            (depth_res, "Depth Residual", "plasma", vmax),
+            (np.clip(gt_rgb, 0, 1), "Input RGB", None, None),
+            (color_np, "Generated RGB", None, None),
+            (color_res, "RGB Residual", None, None),
+        ]
+        for ax, (img, title, cmap, vm) in zip(axs.flat, panels):
+            if cmap:
+                ax.imshow(img, cmap=cmap, vmin=0, vmax=vm)
+            else:
+                ax.imshow(img)
+            ax.set_title(title)
+            ax.set_xticks([])
+            ax.set_yticks([])
+        plt.subplots_adjust(wspace=0, hspace=0)
+        name = (f"{frame_id}_{prefix}.jpg" if prefix
+                else f"{frame_id}.jpg")
+        out = os.path.join(self.out_dir, name)
+        plt.savefig(out, bbox_inches="tight", pad_inches=0.2, dpi=150)
+        plt.close(fig)
+        return out
 
     # ----------------------------------------------------------- rendering
 

@@ -66,8 +66,13 @@ def cull_one_mesh(cfg, c2w_list, mesh_path, save_path, skip, dataset,
 
     in_frustum_votes = np.zeros(len(vertices))
     obs_votes = np.zeros(len(vertices))
-    frame_ids = list(getattr(dataset, "frame_ids",
-                             range(len(dataset))))[::skip]
+    if depth_flag:
+        if hasattr(dataset, "frame_ids"):
+            frame_ids = list(dataset.frame_ids)[::skip]
+        else:
+            frame_ids = list(range(len(dataset)))[::skip]
+    else:
+        frame_ids = None
     for i, pose in enumerate(c2w_list):
         if remove_occlusion:
             if depth_flag:

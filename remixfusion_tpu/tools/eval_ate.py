@@ -131,6 +131,28 @@ def pose_evaluation_na(*args, **kwargs):
     return pose_evaluation(*args, **kwargs)
 
 
+def pose_evaluation_RO(poses_gt, poses_est, scale, save_dir, frame_id,
+                       img="RO", name="RO_result.txt"):
+    """ATE over the raw randomized-optimization poses (reference
+    eval_ate.py:583-608)."""
+    return pose_evaluation(poses_gt, poses_est, scale, save_dir, frame_id,
+                           img=img, name=name)
+
+
+def align_ba(poses_est: np.ndarray, poses_gt: np.ndarray):
+    """Horn-align an estimated trajectory onto GT; returns the aligned
+    [N, 4, 4] poses and the 4x4 alignment transform (reference
+    eval_ate.py:538-553's BA alignment helper)."""
+    est_xyz = poses_est[:, :3, 3].T
+    gt_xyz = poses_gt[:, :3, 3].T
+    rot, trans, _ = align(est_xyz, gt_xyz)
+    T = np.eye(4)
+    T[:3, :3] = rot
+    T[:3, 3] = trans[:, 0]
+    out = np.einsum("ij,njk->nik", T, poses_est)
+    return out.astype(np.float32), T
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="ATE over [N,4,4] .npy pose files")
