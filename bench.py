@@ -31,10 +31,12 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
     warmup = int(os.environ.get("BENCH_WARMUP", "30"))
 
+    cfg_name = os.environ.get("BENCH_CONFIG",
+                              "configs/Synthetic/synthetic_fast.yaml")
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "configs/Synthetic/synthetic.yaml"))
+                                   cfg_name))
     cfg["data"]["synthetic"]["n_frames"] = n_frames
-    cfg["data"]["synthetic"]["orbit_degrees"] = 3.0 * n_frames  # ~3 deg/frame
+    cfg["data"]["synthetic"]["orbit_degrees"] = 1.2 * n_frames  # ~2.5 cm/frame camera speed
     cfg["data"]["output"] = "output/bench"
     cfg["data"]["exp_name"] = "bench"
     cfg["mesh"]["vis"] = 0          # no periodic eval inside the timed loop
@@ -62,7 +64,7 @@ def main():
     # Force completion of in-flight device work before stopping the clock.
     np.asarray(slam.mv.state.weight[0, 0, 0])
     import jax
-    np.asarray(jax.tree_util.tree_leaves(slam.params.hash_table)[0]).ravel()[0]
+    np.asarray(jax.tree_util.tree_leaves(slam.params)[0]).ravel()[0]
     elapsed = time.perf_counter() - t_start
     measured_frames = n_frames - 1 - warmup + 1
     fps = measured_frames / elapsed
@@ -73,6 +75,50 @@ def main():
     print(f"# frames={measured_frames} elapsed={elapsed:.2f}s "
           f"track={track_ms:.1f}ms/frame map_round={map_ms:.1f}ms",
           file=sys.stderr)
+
+    if os.environ.get("BENCH_MESH"):
+        try:
+            from remixfusion_tpu.tools.cull_mesh import cull_one_mesh
+            from remixfusion_tpu.tools.eval_recon import calc_3d_metric
+            from remixfusion_tpu.utils.meshio import read_ply, write_ply_mesh
+
+            mesh_path = slam.save_mesh_final(voxel_size=0.04)
+            poses_np = slam.convert_relative_pose_npy()
+            culled = slam.post_process_mesh(mesh_path, poses_np)
+            rv, rf = read_ply(culled)
+            # cull the analytic GT mesh to the observed region too, so
+            # completion measures what the trajectory could have seen
+            gv, gf = slam.dataset.gt_mesh(voxel_size=0.03)
+            gt_raw = os.path.join(slam.out_dir, "gt_mesh.ply")
+            write_ply_mesh(gt_raw, gv, gf)
+            gt_culled = os.path.join(slam.out_dir, "gt_mesh_culled.ply")
+            cull_one_mesh(cfg, [slam.pose_gt[i] for i in
+                                range(0, len(slam.pose_gt), 5)],
+                          gt_raw, gt_culled, 5, slam.dataset,
+                          depth_flag=True, remove_occlusion=True, eps=0.1)
+            gcv, gcf = read_ply(gt_culled)
+
+            # Accuracy against the ANALYTIC scene SDF (no sampling/culling
+            # artifacts — mesh culling drops grazing-angle GT walls);
+            # completion against the observed (culled) GT region.
+            from remixfusion_tpu.tools.eval_recon import (
+                completion_ratio, sample_surface)
+            from scipy.spatial import cKDTree
+            rec_pts = sample_surface(rv, rf, 100000)
+            acc_d = np.abs(slam.dataset.gt_sdf(rec_pts))
+            gt_pts = sample_surface(gcv, gcf, 100000)
+            comp_d, _ = cKDTree(rec_pts).query(gt_pts, k=1)
+            acc_ratio = float((acc_d < 0.05).mean())
+            comp_ratio = float((comp_d < 0.05).mean())
+            f1 = 2 * acc_ratio * comp_ratio / max(acc_ratio + comp_ratio,
+                                                  1e-8)
+            print(f"# mesh: accuracy_cm={acc_d.mean()*100:.3f} "
+                  f"completion_cm={comp_d.mean()*100:.3f} "
+                  f"accuracy_ratio_pct={acc_ratio*100:.3f} "
+                  f"completion_ratio_pct={comp_ratio*100:.3f} "
+                  f"f1={f1:.3f}", file=sys.stderr)
+        except Exception as e:
+            print(f"# mesh eval failed: {e}", file=sys.stderr)
 
     ate = float("nan")
     try:

@@ -170,6 +170,37 @@ class SyntheticDataset(BaseDataset):
         return (color.reshape(H, W, 3),
                 z.reshape(H, W).astype(np.float32))
 
+    def gt_sdf(self, pts: np.ndarray) -> np.ndarray:
+        """Exact signed distance of the scene at world points [N, 3]
+        (positive in free interior space, zero on every surface)."""
+        pts = np.asarray(pts, np.float64)
+        s = self.room_size
+        # room interior: distance to the box boundary from inside
+        d = np.minimum.reduce([
+            pts[:, 0], s - pts[:, 0], pts[:, 1], s - pts[:, 1],
+            pts[:, 2], s - pts[:, 2]])
+        for c, r in self.spheres:
+            d = np.minimum(d, np.linalg.norm(pts - c, axis=1) - r)
+        for lo, hi in self.boxes:
+            q = np.maximum(lo - pts, pts - hi)
+            outside = np.linalg.norm(np.maximum(q, 0), axis=1)
+            inside = np.minimum(np.max(q, axis=1), 0.0)
+            d = np.minimum(d, outside + inside)
+        return d.astype(np.float32)
+
+    def gt_mesh(self, voxel_size: float = 0.02):
+        """Analytic ground-truth mesh via marching cubes on the exact SDF."""
+        from remixfusion_tpu.ops.marching_cubes import marching_cubes
+
+        s = self.room_size
+        n = int(round(s / voxel_size)) + 1
+        axes = np.linspace(0, s, n, dtype=np.float32)
+        grid = np.stack(np.meshgrid(axes, axes, axes, indexing="ij"), -1)
+        sdf = self.gt_sdf(grid.reshape(-1, 3)).reshape(n, n, n)
+        verts, faces = marching_cubes(sdf, 0.0)
+        verts = verts * voxel_size
+        return verts.astype(np.float32), faces
+
     def _disk_cache_path(self, index):
         import hashlib
         key = hashlib.md5(repr((

@@ -95,35 +95,47 @@ class Mapper:
         # Cache of jitted steps keyed by ray-batch shape bucket.
         self._map_step_fns = {}
         self._ba_step_fns = {}
+        self._integrate_fns = {}
 
     # ------------------------------------------------------------ fusion
+
+    def _build_integrate_kf(self, im_h: int, im_w: int):
+        R = self.scene.gbv_resolution
+        trunc = self.config["training"]["c_trunc"]
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run(gbv, gbw, depth, rgb, K, c2w, bound, obs_weight):
+            vol = tsdf_ops.VolumeState(
+                tsdf=gbv[..., 0], weight=gbw, color=gbv[..., 1:],
+                origin=bound[:, 0])
+            vol = tsdf_ops.fuse_frame(
+                vol, depth, rgb, K, c2w,
+                voxel_size=1.0 / R, trunc_margin=trunc,
+                obs_weight=obs_weight, im_h=im_h, im_w=im_w,
+                global_mode=True, scale=bound[:, 1] - bound[:, 0],
+                voxel_size_is_normalized=True)
+            return (jnp.concatenate([vol.tsdf[..., None], vol.color], -1),
+                    vol.weight)
+
+        return run
 
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
                            bound, obs_weight: float = 1.0) -> SceneBuffers:
         """Fuse a keyframe into the explicit global grid
         (reference mapper.py:823-872). `bound`: [3, 2] world bounds; grid
-        voxel i maps to bound_min + i/R * extent."""
-        R = self.scene.gbv_resolution
-        bound = jnp.asarray(bound, jnp.float32)
-        vol = tsdf_ops.VolumeState(
-            tsdf=buffers.gbv[..., 0],
-            weight=buffers.gbw,
-            color=buffers.gbv[..., 1:],
-            origin=bound[:, 0],
-        )
+        voxel i maps to bound_min + i/R * extent. One jitted program —
+        unpack/fuse/repack fused (eager slicing of the 128 MB grid costs
+        more than the fusion itself on a tunneled device)."""
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
-        vol = tsdf_ops.fuse_frame(
-            vol, depth, rgb, K, c2w,
-            voxel_size=1.0 / R,
-            trunc_margin=self.config["training"]["c_trunc"],
-            obs_weight=obs_weight,
-            im_h=im_h, im_w=im_w,
-            global_mode=True,
-            scale=bound[:, 1] - bound[:, 0],
-            voxel_size_is_normalized=True,
-        )
-        gbv = jnp.concatenate([vol.tsdf[..., None], vol.color], axis=-1)
-        return SceneBuffers(gbv=gbv, gbw=vol.weight, rba=buffers.rba)
+        key = (im_h, im_w)
+        if key not in self._integrate_fns:
+            self._integrate_fns[key] = self._build_integrate_kf(im_h, im_w)
+        gbv, gbw = self._integrate_fns[key](
+            buffers.gbv, buffers.gbw, jnp.asarray(depth), jnp.asarray(rgb),
+            jnp.asarray(K), jnp.asarray(c2w),
+            jnp.asarray(bound, jnp.float32),
+            jnp.asarray(obs_weight, jnp.float32))
+        return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba)
 
     def reset_global_volume(self, buffers: SceneBuffers) -> SceneBuffers:
         """clean_tsdf semantics: tsdf=1, rgb=0, weights=0

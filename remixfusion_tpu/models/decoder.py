@@ -28,18 +28,31 @@ def _linear_init(key, in_dim, out_dim):
 
 
 class MLP:
-    """Plain MLP; weights only (no bias) to mirror the reference decoders."""
+    """Plain MLP; weights only (no bias) to mirror the reference decoders.
 
-    def __init__(self, dims: List[int], activation=jax.nn.relu, bias: bool = False):
+    `zero_init_last` starts the final layer at (near-)zero so the module's
+    output is ~0 until gradients push it — the right inductive bias for
+    RESIDUAL decoders: untrained regions then fall back exactly to the
+    explicit TSDF/color instead of hallucinating (standard residual-learning
+    practice; the reference relies on long training runs to wash this out).
+    """
+
+    def __init__(self, dims: List[int], activation=jax.nn.relu,
+                 bias: bool = False, zero_init_last: bool = False):
         self.dims = dims
         self.activation = activation
         self.bias = bias
+        self.zero_init_last = zero_init_last
 
     def init(self, key) -> Dict:
         params = {}
         keys = jax.random.split(key, len(self.dims) - 1)
-        for i in range(len(self.dims) - 1):
-            params[f"w{i}"] = _linear_init(keys[i], self.dims[i], self.dims[i + 1])
+        n_layers = len(self.dims) - 1
+        for i in range(n_layers):
+            w = _linear_init(keys[i], self.dims[i], self.dims[i + 1])
+            if self.zero_init_last and i == n_layers - 1:
+                w = w * 1e-4
+            params[f"w{i}"] = w
             if self.bias:
                 bound = 1.0 / math.sqrt(self.dims[i])
                 params[f"b{i}"] = jax.random.uniform(
@@ -63,7 +76,7 @@ class SDFNet:
     def __init__(self, input_ch: int, geo_feat_dim: int = 15,
                  hidden_dim: int = 64, num_layers: int = 2):
         dims = [input_ch] + [hidden_dim] * (num_layers - 1) + [1 + geo_feat_dim]
-        self.mlp = MLP(dims)
+        self.mlp = MLP(dims, zero_init_last=True)
 
     def init(self, key):
         return self.mlp.init(key)
@@ -77,7 +90,7 @@ class ColorNet:
                  hidden_dim_color: int = 64, num_layers_color: int = 3):
         dims = ([input_ch + geo_feat_dim]
                 + [hidden_dim_color] * (num_layers_color - 1) + [3])
-        self.mlp = MLP(dims)
+        self.mlp = MLP(dims, zero_init_last=True)
 
     def init(self, key):
         return self.mlp.init(key)

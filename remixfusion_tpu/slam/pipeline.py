@@ -85,9 +85,8 @@ class RemixFusionTPU:
         # Seed the local volume with the first frame (reference
         # ROtracker.py:132 integrates frame 0 at tracker construction).
         batch0 = self.dataset[0]
-        self.mv.integrate(
-            jnp.floor(jnp.asarray(batch0["rgb"]) * 255.0),
-            jnp.asarray(batch0["depth"]), self.K_dev, jnp.asarray(init_pose))
+        self.mv.integrate(batch0["rgb"], batch0["depth"], self.K_dev,
+                          init_pose, rgb_is_unit=True)
 
         self.mapping_idx = 0
         self.tracking_idx = 0
@@ -189,15 +188,22 @@ class RemixFusionTPU:
     # ----------------------------------------------------------- tracking
 
     def predict_current_pose(self, frame_id: int) -> np.ndarray:
-        """(reference tracker.py:54-72)"""
+        """(reference tracker.py:54-72). Pure NumPy — pose bookkeeping stays
+        on the host so tracking costs exactly one device round-trip/frame."""
         const_speed = self.config["tracking"]["const_speed"]
         if frame_id == 1 or not const_speed:
             return self.est_c2w_data[frame_id - 1].copy()
-        prev = self.RO_c2w_data[frame_id - 1]
-        prev_prev = self.RO_c2w_data[frame_id - 2]
-        pred = pose_math.predict_const_speed(
-            jnp.asarray(prev), jnp.asarray(prev_prev))
-        return np.asarray(pred)
+        prev = self.RO_c2w_data[frame_id - 1].astype(np.float64)
+        prev_prev = self.RO_c2w_data[frame_id - 2].astype(np.float64)
+        delta = prev @ np.linalg.inv(prev_prev)
+        pred = delta @ prev
+        U, _, Vt = np.linalg.svd(pred[:3, :3])
+        S = np.eye(3)
+        S[2, 2] = np.sign(np.linalg.det(U @ Vt))
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = (U @ S @ Vt).astype(np.float32)
+        out[:3, 3] = pred[:3, 3].astype(np.float32)
+        return out
 
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
@@ -212,9 +218,10 @@ class RemixFusionTPU:
         kf_every = self.config["mapping"]["keyframe_every"]
         if frame_id % kf_every != 0:
             kf_frame = (frame_id // kf_every) * kf_every
-            delta = pose_math.relative_to_key(
-                jnp.asarray(c2w), jnp.asarray(self.RO_c2w_data[kf_frame]))
-            self.est_c2w_data_rel[frame_id] = np.asarray(delta)
+            c2w_key = self.RO_c2w_data[kf_frame].astype(np.float64)
+            self.est_c2w_data_rel[frame_id] = (
+                c2w.astype(np.float64) @ np.linalg.inv(c2w_key)
+            ).astype(np.float32)
 
         if self.config.get("print_ape"):
             gt = self.pose_gt[frame_id]
@@ -226,8 +233,8 @@ class RemixFusionTPU:
         # post-processing: volume re-center + integration
         # (reference ROtracker.post_processing, ROtracker.py:911-945)
         self.mv.check_move(frame_id, c2w)
-        rgb255 = jnp.floor(jnp.asarray(batch["rgb"]) * 255.0)
-        self.mv.integrate(rgb255, depth, self.K_dev, jnp.asarray(c2w))
+        self.mv.integrate(batch["rgb"], depth, self.K_dev, c2w,
+                          rgb_is_unit=True)
 
         # optional local-volume mesh dumps (reference RO.save_volume path,
         # ROtracker.py:941-945)
@@ -406,8 +413,29 @@ class RemixFusionTPU:
             print("final ATE skipped:", e)
         if self.config["mapping"]["save_ckpt"]:
             self.save_ckpt(os.path.join(self.out_dir, "checkpoint.npz"))
-        self.save_mesh_final(
+        mesh_path = self.save_mesh_final(
             voxel_size=self.config["mesh"]["voxel_final"])
+        self.post_process_mesh(mesh_path, poses_np)
+
+    def post_process_mesh(self, mesh_path, poses_np, skip: int = 5,
+                          eps: float = 0.1):
+        """Occlusion-cull the final mesh with the estimated trajectory and
+        the dataset's depth maps (reference mapper.py:809-821; the raw mesh
+        is kept alongside rather than deleted)."""
+        from remixfusion_tpu.tools.cull_mesh import cull_one_mesh
+
+        try:
+            c2w_list = [poses_np[i] for i in
+                        range(0, poses_np.shape[0], skip)]
+            save_path = os.path.join(self.out_dir,
+                                     "mesh_cull_occlusion.ply")
+            cull_one_mesh(self.config, c2w_list, mesh_path, save_path, skip,
+                          self.dataset, depth_flag=True,
+                          remove_occlusion=True, eps=eps)
+            return save_path
+        except Exception as e:
+            print("mesh culling skipped:", e)
+            return mesh_path
 
     # ------------------------------------------------------------- poses
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -202,19 +203,45 @@ class MovingVolume:
 
     # ---------------------------------------------------------- integration
 
-    def integrate(self, rgb255: jnp.ndarray, depth: jnp.ndarray,
-                  K: jnp.ndarray, c2w: jnp.ndarray, obs_weight: float = 1.0):
+    def _build_integrate(self, im_h: int, im_w: int, scale_rgb: bool):
+        voxel_size = self.voxel_size
+        trunc = self.trunc_margin
+        clamp = self.weight_clamp
+
+        @jax.jit
+        def run(tsdf, weight, color, origin, depth, rgb, K, c2w, obs_weight):
+            if scale_rgb:
+                rgb = jnp.floor(rgb * 255.0)
+            state = tsdf_ops.VolumeState(tsdf, weight, color, origin)
+            out = tsdf_ops.fuse_frame(
+                state, depth, rgb, K, c2w,
+                voxel_size=voxel_size, trunc_margin=trunc,
+                obs_weight=obs_weight, im_h=im_h, im_w=im_w,
+                weight_clamp=clamp)
+            return out.tsdf, out.weight, out.color
+
+        return run
+
+    def integrate(self, rgb: jnp.ndarray, depth: jnp.ndarray,
+                  K: jnp.ndarray, c2w: jnp.ndarray, obs_weight: float = 1.0,
+                  rgb_is_unit: bool = False):
         """Fuse one frame (rgb in 0..255 floats like the reference's packed
-        colors, Volume.py:713-757)."""
+        colors, Volume.py:713-757; pass rgb_is_unit for [0,1] images — the
+        x255 conversion then happens inside the single jitted program)."""
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
-        self.state = tsdf_ops.fuse_frame(
-            self.state, depth, rgb255, K, c2w,
-            voxel_size=self.voxel_size,
-            trunc_margin=self.trunc_margin,
-            obs_weight=obs_weight,
-            im_h=im_h, im_w=im_w,
-            weight_clamp=self.weight_clamp,
-        )
+        key = (im_h, im_w, bool(rgb_is_unit))
+        if not hasattr(self, "_integrate_fns"):
+            self._integrate_fns = {}
+        if key not in self._integrate_fns:
+            self._integrate_fns[key] = self._build_integrate(
+                im_h, im_w, rgb_is_unit)
+        tsdf, weight, color = self._integrate_fns[key](
+            self.state.tsdf, self.state.weight, self.state.color,
+            self.state.origin, jnp.asarray(depth), jnp.asarray(rgb),
+            jnp.asarray(K), jnp.asarray(c2w),
+            jnp.asarray(obs_weight, jnp.float32))
+        self.state = tsdf_ops.VolumeState(tsdf, weight, color,
+                                          self.state.origin)
 
     def filter_tsdf(self, weight_threshold: float):
         self.state = tsdf_ops.filter_low_weight(self.state, weight_threshold)

@@ -118,3 +118,63 @@ def test_tracking_identity_stays_put():
     # starting at the true pose, tracking must not wander off
     assert np.abs(out[:3, 3] - f["c2w"][:3, 3]).max() < 0.03
     assert np.abs(out[:3, :3] - f["c2w"][:3, :3]).max() < 0.03
+
+
+def test_brick_mode_matches_gather_for_small_search():
+    """With a small search size every perturbed voxel stays inside the
+    4^3 bricks, so brick-mode fitness must match the exact gather path."""
+    cfg = tiny_config(RO={"particle_iter_lens": 6, "depth_level": [4, 2, 1],
+                          "init_size": 0.015},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=4)
+    tr_g = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    cfg2 = tiny_config(RO={"particle_iter_lens": 6, "depth_level": [4, 2, 1],
+                           "init_size": 0.015, "eval_mode": "brick"},
+                       volume={"voxel_size": 0.025})
+    tr_b = ROTracker(cfg2, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+
+    f = ds[3]
+    import jax.numpy as jnp
+    depth = jnp.asarray(f["depth"])
+    key = jax.random.PRNGKey(0)
+    vertex = tr_g._compute_vertex(depth, key)
+    normal = tr_g._compute_normal(vertex)
+    tsdf_flat = mv.state.tsdf.reshape(-1)
+    R = jnp.asarray(f["c2w"][:3, :3])
+    T = jnp.asarray(f["c2w"][:3, 3])
+    ss = jnp.full(6, 0.01)
+    table = tr_g.pst[2][0]
+    vg = np.asarray(jax.jit(lambda: tr_g._eval_tier(
+        table, 1, 0, R, T, ss, vertex, normal, tsdf_flat,
+        mv.state.origin))())
+    vb = np.asarray(jax.jit(lambda: tr_b._eval_tier_brick(
+        table, 1, 0, R, T, ss, vertex, normal, tsdf_flat,
+        mv.state.origin))())
+    # identical identity-candidate fitness; near-identical elsewhere (bricks
+    # drop only out-of-range pixels, which a 1cm search never produces for
+    # in-volume pixels)
+    assert abs(vg[0] - vb[0]) < 1e-4
+    assert np.abs(vg - vb).max() < 0.05
+    assert np.abs(vg - vb).mean() < 5e-3
+
+
+def test_brick_mode_tracks():
+    cfg = tiny_config(RO={"particle_iter_lens": 10, "init_size": 0.03,
+                          "count_search": 100, "depth_level": [4, 2, 1],
+                          "eval_mode": "brick"},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=5)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    f = ds[5]
+    gt = f["c2w"]
+    noisy = gt.copy()
+    noisy[:3, 3] += np.array([0.03, -0.02, 0.02], np.float32)
+    err_before = np.abs(noisy[:3, 3] - gt[:3, 3]).mean()
+    res = tracker.do_tracking(mv.state, noisy, jnp.asarray(f["depth"]),
+                              jax.random.PRNGKey(0))
+    out = np.asarray(res.c2w)
+    err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
+    assert np.isfinite(out).all()
+    assert err_after < err_before * 0.8
