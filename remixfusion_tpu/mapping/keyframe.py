@@ -61,7 +61,10 @@ class KeyFrameDatabase:
         """Uniformly sample `bs` rays across all stored keyframes
         (reference keyframe.py:83-96). Returns (rays [bs, 7], frame_ids [bs])."""
         num_kf = len(self.frame_ids)
-        idxs = self.rng.choice(num_kf * self.num_rays_to_save, bs, replace=False)
+        # O(bs) sampling: Generator.choice(replace=False) permutes the whole
+        # multi-million-ray pool on every call; collisions at bs<<N are
+        # negligible (the reference samples without replacement).
+        idxs = self.rng.integers(0, num_kf * self.num_rays_to_save, bs)
         rays = self.rays[:num_kf].reshape(-1, 7)[idxs]
         fids = np.asarray(self.frame_ids)[idxs // self.num_rays_to_save]
         return rays, fids

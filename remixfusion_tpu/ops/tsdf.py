@@ -287,6 +287,133 @@ def nearest_tsdf(
     return vol_tsdf_flat[idx], valid
 
 
+def make_tiled_fuser(dims, tile, n_tiles, *, voxel_size, trunc_margin,
+                     im_h, im_w, weight_clamp, scale_rgb):
+    """Build a jitted frustum-tiled local fuser.
+
+    Instead of sweeping all DX*DY*DZ voxels per frame, the host computes the
+    <= n_tiles (tile^3-voxel) subvolumes intersecting the camera frustum and
+    the device scans ONLY those: per step, dynamic-slice the tile, run the
+    same projective fusion, write it back. Random image gathers per frame
+    shrink by the frustum's volume fraction (typically 2-4x). Invalid
+    (padding) entries carry offset (-1,-1,-1) and are skipped.
+
+    Returns fuse(tsdf, weight, color, origin, offsets [n_tiles, 3] int32
+    voxel offsets, depth, rgb, K, c2w, obs_weight) -> (tsdf, weight, color).
+    """
+    t = int(tile)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fuse(tsdf, weight, color, origin, offsets, depth_im, color_im, K,
+             c2w, obs_weight):
+        if scale_rgb:
+            color_im = jnp.floor(color_im * 255.0)
+        img_pack = jnp.concatenate(
+            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
+
+        ix = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 2)
+
+        def body(carry, off):
+            tsdf, weight, color = carry
+            valid_tile = off[0] >= 0
+            o = jnp.maximum(off, 0)
+            ts = jax.lax.dynamic_slice(tsdf, (o[0], o[1], o[2]), (t, t, t))
+            ws = jax.lax.dynamic_slice(weight, (o[0], o[1], o[2]), (t, t, t))
+            cs = jax.lax.dynamic_slice(color, (o[0], o[1], o[2], 0),
+                                       (t, t, t, 3))
+
+            px = origin[0] + (o[0].astype(jnp.float32) + ix) * voxel_size
+            py = origin[1] + (o[1].astype(jnp.float32) + iy) * voxel_size
+            pz = origin[2] + (o[2].astype(jnp.float32) + iz) * voxel_size
+            cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
+            in_front = cam_z > 0
+            in_image = ((pix_x >= 0) & (pix_x < im_w)
+                        & (pix_y >= 0) & (pix_y < im_h))
+            pxc = jnp.clip(pix_x, 0, im_w - 1)
+            pyc = jnp.clip(pix_y, 0, im_h - 1)
+            gathered = img_pack[(pyc * im_w + pxc).reshape(-1)]
+            depth_val = gathered[:, 0].reshape(t, t, t)
+            new_c = gathered[:, 1:].reshape(t, t, t, 3)
+
+            vec_x = (pxc.astype(jnp.float32) - K[0, 2]) / K[0, 0]
+            vec_y = (pyc.astype(jnp.float32) - K[1, 2]) / K[1, 1]
+            lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
+            cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y
+                                + cam_z * cam_z)
+            sdf = -((cam_norm / lam) - depth_val)
+            update = (valid_tile & in_front & in_image & (depth_val > 0)
+                      & (sdf >= -trunc_margin))
+
+            dist = jnp.minimum(1.0, sdf / trunc_margin)
+            w_new = ws + obs_weight
+            inv = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
+            new_tsdf = (ts * ws + obs_weight * dist) * inv
+            fused_c = (cs * ws[..., None] + obs_weight * new_c) * inv[..., None]
+            new_weight = jnp.minimum(w_new, 40.0) if weight_clamp else w_new
+            color_band = update & (sdf <= trunc_margin)
+            fused_c = jnp.minimum(jnp.rint(fused_c), 255.0)
+
+            ts = jnp.where(update, new_tsdf, ts)
+            ws = jnp.where(update, new_weight, ws)
+            cs = jnp.where(color_band[..., None], fused_c, cs)
+
+            tsdf = jax.lax.dynamic_update_slice(tsdf, ts, (o[0], o[1], o[2]))
+            weight = jax.lax.dynamic_update_slice(weight, ws,
+                                                  (o[0], o[1], o[2]))
+            color = jax.lax.dynamic_update_slice(color, cs,
+                                                 (o[0], o[1], o[2], 0))
+            return (tsdf, weight, color), None
+
+        (tsdf, weight, color), _ = jax.lax.scan(
+            body, (tsdf, weight, color), offsets)
+        return tsdf, weight, color
+
+    return fuse
+
+
+def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
+                  max_depth=None):
+    """Host-side: voxel offsets [N, 3] of the tiles whose AABB intersects the
+    view frustum (conservative corner test)."""
+    import numpy as np
+
+    t = int(tile)
+    nx, ny, nz = (dims[0] + t - 1) // t, (dims[1] + t - 1) // t, \
+        (dims[2] + t - 1) // t
+    gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    base = np.stack([gx, gy, gz], -1).reshape(-1, 3) * t  # [N, 3]
+    # 8 corners of every tile in world coords
+    corners = np.stack(np.meshgrid([0, t], [0, t], [0, t],
+                                   indexing="ij"), -1).reshape(-1, 3)
+    pts = (base[:, None, :] + corners[None, :, :]) * voxel_size \
+        + np.asarray(origin)[None, None, :]
+    w2c_R = np.asarray(c2w)[:3, :3].T
+    w2c_t = -w2c_R @ np.asarray(c2w)[:3, 3]
+    cam = pts @ w2c_R.T + w2c_t  # [N, 8, 3]
+    z = cam[:, :, 2]
+    fx, fy, cx, cy = K[0][0], K[1][1], K[0][2], K[1][2]
+    eps = 1e-6
+    u = fx * cam[:, :, 0] / np.maximum(z, eps) + cx
+    v = fy * cam[:, :, 1] / np.maximum(z, eps) + cy
+    front = z > 0
+    any_front = front.any(1)
+    # conservative: if all front corners are beyond one image border, skip
+    u_f = np.where(front, u, np.nan)
+    v_f = np.where(front, v, np.nan)
+    with np.errstate(invalid="ignore"):
+        out_l = np.nanmax(u_f, 1) < 0
+        out_r = np.nanmin(u_f, 1) >= im_w
+        out_t = np.nanmax(v_f, 1) < 0
+        out_b = np.nanmin(v_f, 1) >= im_h
+    keep = any_front & ~(out_l | out_r | out_t | out_b)
+    if max_depth is not None:
+        keep &= np.where(front, z, np.inf).min(1) <= max_depth
+    return base[keep].astype(np.int32)
+
+
 @jax.jit
 def shift_volume(vol: VolumeState, new_origin: jnp.ndarray, voxel_size) -> VolumeState:
     """Re-center the volume on a new origin, preserving overlapping content.

@@ -168,7 +168,7 @@ class RemixFusionTPU:
             n = min(chunk, n_iters - done)
             rays, ro, rd = [], [], []
             for _ in range(n):
-                idx = self._np_rng.choice(len(depth), sample, replace=False)
+                idx = self._np_rng.integers(0, len(depth), sample)
                 r = np.concatenate(
                     [dirs[idx], rgb[idx], depth[idx, None]],
                     -1).astype(np.float32)
@@ -271,7 +271,7 @@ class RemixFusionTPU:
         rays_b, ids_b = [], []
         for _ in range(n_iters):
             g_rays, g_fids = self.kfdb.sample_global_rays(sample)
-            idx = self._np_rng.choice(len(depth), n_cur, replace=False)
+            idx = self._np_rng.integers(0, len(depth), n_cur)
             c_rays = np.concatenate(
                 [dirs[idx], rgb[idx], depth[idx, None]], -1).astype(np.float32)
             rays = np.concatenate([g_rays, c_rays], 0)

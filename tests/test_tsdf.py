@@ -179,3 +179,53 @@ def test_fuse_then_mesh_plane():
     assert len(verts) > 100
     world_z = np.asarray(vol.origin)[2] + verts[:, 2] * voxel
     assert abs(np.median(world_z) - 0.8) < voxel
+
+
+def test_tiled_fusion_matches_full():
+    """Frustum-tiled fusion must produce EXACTLY the same volume as the
+    dense sweep (tiles are disjoint and cover every in-frustum voxel)."""
+    from remixfusion_tpu.ops.tsdf import (
+        frustum_tiles, fuse_frame, make_tiled_fuser, make_volume)
+
+    dims = (64, 64, 64)
+    vol = make_volume(dims, (-0.64, -0.64, 0.0))
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(rng.uniform(0.3, 1.2, (H, W)).astype(np.float32))
+    color = jnp.asarray(rng.uniform(0, 255, (H, W, 3)).astype(np.float32))
+    c2w = jnp.eye(4)
+    voxel = 0.02
+    full = fuse_frame(vol, depth, color, K, c2w, voxel_size=voxel,
+                      trunc_margin=0.06, obs_weight=1.0, im_h=H, im_w=W,
+                      weight_clamp=True)
+
+    tile = 32
+    offs = frustum_tiles(dims, tile, np.asarray(vol.origin), voxel,
+                         np.asarray(K), np.asarray(c2w), H, W)
+    n_tiles = 8
+    assert 0 < len(offs) <= n_tiles
+    pad = np.full((n_tiles - len(offs), 3), -1, np.int32)
+    offsets = jnp.asarray(np.concatenate([offs, pad]))
+    fuser = make_tiled_fuser(dims, tile, n_tiles, voxel_size=voxel,
+                             trunc_margin=0.06, im_h=H, im_w=W,
+                             weight_clamp=True, scale_rgb=False)
+    tsdf2, weight2, color2 = fuser(
+        vol.tsdf, vol.weight, vol.color, vol.origin, offsets, depth, color,
+        K, c2w, jnp.asarray(1.0))
+    # tsdf matches to float reassociation (1 ulp); weights/colors exact
+    assert np.allclose(np.asarray(full.tsdf), np.asarray(tsdf2), atol=1e-6)
+    assert np.array_equal(np.asarray(full.weight), np.asarray(weight2))
+    assert np.array_equal(np.asarray(full.color), np.asarray(color2))
+
+
+def test_frustum_tiles_conservative():
+    from remixfusion_tpu.ops.tsdf import frustum_tiles
+    dims = (64, 64, 64)
+    # camera at the volume center looking +z: tiles behind must be dropped
+    c2w = np.eye(4)
+    c2w[:3, 3] = (0.0, 0.0, 0.64)
+    offs = frustum_tiles(dims, 16, (-0.64, -0.64, 0.0), 0.02,
+                         np.asarray(K), c2w, H, W)
+    n_total = 4 * 4 * 4
+    assert 0 < len(offs) < n_total
+    # every kept tile reaches beyond the camera plane (z world >= cam z)
+    assert (((offs[:, 2] + 16) * 0.02) >= 0.64 - 1e-6).all()
