@@ -374,9 +374,11 @@ def make_tiled_fuser(dims, tile, n_tiles, *, voxel_size, trunc_margin,
 
 
 def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
-                  max_depth=None):
+                  max_depth=None, pad_px: float = 0.0):
     """Host-side: voxel offsets [N, 3] of the tiles whose AABB intersects the
-    view frustum (conservative corner test)."""
+    view frustum (conservative corner test). `pad_px` widens the image
+    bounds so a slightly-wrong pose (e.g. the predicted pose standing in for
+    the tracked one) cannot cull a tile the true frustum touches."""
     import numpy as np
 
     t = int(tile)
@@ -404,10 +406,10 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
     u_f = np.where(front, u, np.nan)
     v_f = np.where(front, v, np.nan)
     with np.errstate(invalid="ignore"):
-        out_l = np.nanmax(u_f, 1) < 0
-        out_r = np.nanmin(u_f, 1) >= im_w
-        out_t = np.nanmax(v_f, 1) < 0
-        out_b = np.nanmin(v_f, 1) >= im_h
+        out_l = np.nanmax(u_f, 1) < -pad_px
+        out_r = np.nanmin(u_f, 1) >= im_w + pad_px
+        out_t = np.nanmax(v_f, 1) < -pad_px
+        out_b = np.nanmin(v_f, 1) >= im_h + pad_px
     keep = any_front & ~(out_l | out_r | out_t | out_b)
     if max_depth is not None:
         keep &= np.where(front, z, np.inf).min(1) <= max_depth

@@ -205,12 +205,90 @@ class RemixFusionTPU:
         out[:3, 3] = pred[:3, 3].astype(np.float32)
         return out
 
+    def _frame_tiles(self, pose, im_h, im_w):
+        """Host-side frustum tile selection for the fused track+integrate
+        program. Returns (padded offsets [budget, 3] or a dummy, tiled?)."""
+        mv = self.mv
+        if not mv.tile:
+            return jnp.zeros((1, 3), jnp.int32), False
+        from remixfusion_tpu.ops.tsdf import frustum_tiles
+        # host-side origin copy (reading state.origin would sync the device)
+        origin = mv.vol_bnds[:, 0]
+        offs = frustum_tiles(
+            mv.dims, mv.tile, origin, mv.voxel_size,
+            np.asarray(self.dataset.K()), pose, im_h, im_w,
+            pad_px=16)
+        if len(offs) > mv.tile_budget:
+            return jnp.zeros((1, 3), jnp.int32), False
+        pad = np.full((mv.tile_budget - len(offs), 3), -1, np.int32)
+        return jnp.asarray(np.concatenate([offs, pad], axis=0)), True
+
+    def _build_track_and_fuse(self, im_h, im_w, tiled: bool):
+        """One device program per frame: randomized-optimization tracking
+        followed by local-volume fusion at the optimized pose. Collapses the
+        per-frame host<->device traffic to one dispatch + one small pose
+        readback (the tunnel charges ~29 ms per synchronized call)."""
+        tracker = self.tracker
+        mv = self.mv
+        from functools import partial
+
+        if tiled:
+            from remixfusion_tpu.ops.tsdf import make_tiled_fuser
+            fuse = make_tiled_fuser(
+                mv.dims, mv.tile, mv.tile_budget,
+                voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
+                im_h=im_h, im_w=im_w, weight_clamp=mv.weight_clamp,
+                scale_rgb=True)
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
+                     init_pose, key, ss):
+                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
+                                     depth, key, ss)
+                t2, w2, c2 = fuse(tsdf, weight, color, origin, offsets,
+                                  depth, rgb, K, res.c2w,
+                                  jnp.asarray(1.0, jnp.float32))
+                return res, t2, w2, c2
+        else:
+            from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
+                     init_pose, key, ss):
+                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
+                                     depth, key, ss)
+                state = tsdf_ops.VolumeState(tsdf, weight, color, origin)
+                out = tsdf_ops.fuse_frame(
+                    state, depth, jnp.floor(rgb * 255.0), K, res.c2w,
+                    voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
+                    obs_weight=1.0, im_h=im_h, im_w=im_w,
+                    weight_clamp=mv.weight_clamp)
+                return res, out.tsdf, out.weight, out.color
+        return step
+
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
         init = self.predict_current_pose(frame_id)
-        depth = jnp.asarray(batch["depth"])
-        res = self.tracker.do_tracking(
-            self.mv.state, init, depth, self._next_key())
+
+        # Re-center policy evaluated on the PREDICTED pose (mm accuracy vs a
+        # 1 m threshold) so the shift happens before the fused dispatch.
+        self.mv.check_move(frame_id, init)
+
+        im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
+        offsets, tiled = self._frame_tiles(init, im_h, im_w)
+        key = ("tf", im_h, im_w, tiled)
+        if not hasattr(self, "_tf_fns"):
+            self._tf_fns = {}
+        if key not in self._tf_fns:
+            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, tiled)
+        st = self.mv.state
+        res, tsdf, weight, color = self._tf_fns[key](
+            st.tsdf, st.weight, st.color, st.origin, offsets,
+            jnp.asarray(batch["depth"]), jnp.asarray(batch["rgb"]),
+            self.K_dev, jnp.asarray(init), self._next_key(),
+            self.tracker.init_search_size())
+        from remixfusion_tpu.ops.tsdf import VolumeState
+        self.mv.state = VolumeState(tsdf, weight, color, st.origin)
         c2w = np.asarray(res.c2w)
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w
@@ -230,11 +308,9 @@ class RemixFusionTPU:
             tag = "success" if ape_a < ape_b else "fail"
             print(f"final {tag} ape: {ape_b:.6f}->{ape_a:.6f}")
 
-        # post-processing: volume re-center + integration
-        # (reference ROtracker.post_processing, ROtracker.py:911-945)
-        self.mv.check_move(frame_id, c2w)
-        self.mv.integrate(batch["rgb"], depth, self.K_dev, c2w,
-                          rgb_is_unit=True)
+        # (volume re-center ran pre-dispatch on the predicted pose; fusion
+        # of this frame ran inside the combined track+fuse program — cf.
+        # reference ROtracker.post_processing, ROtracker.py:911-945)
 
         # optional local-volume mesh dumps (reference RO.save_volume path,
         # ROtracker.py:941-945)
