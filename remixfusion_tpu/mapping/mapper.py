@@ -266,10 +266,11 @@ class Mapper:
         raw = max(self.sample // max(n_kf, 1), m["min_pixels_cur"])
         if raw <= m["min_pixels_cur"]:
             return m["min_pixels_cur"]
-        bucket = 1
-        while bucket < raw:
-            bucket *= 2
-        return min(bucket, self.sample)
+        # Three buckets only — each distinct batch shape compiles its own
+        # map/BA step variant.
+        if raw >= self.sample // 2:
+            return self.sample
+        return max(self.sample // 4, m["min_pixels_cur"])
 
     @staticmethod
     def rays_to_world_np(rays: np.ndarray, poses: np.ndarray):

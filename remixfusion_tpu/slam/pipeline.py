@@ -62,6 +62,13 @@ class RemixFusionTPU:
         n_frames = self.dataset.num_frames
         kf_every = config["mapping"]["keyframe_every"]
         self.num_kf = int(n_frames // kf_every + 1)
+        # Pad keyframe capacity to a power of two: every jitted map/BA step
+        # variant is shaped by it, so padding makes compiles (and the
+        # persistent cache) reusable across sequence lengths.
+        cap = 16
+        while cap < self.num_kf:
+            cap *= 2
+        self.num_kf = cap
 
         self.scene = SceneRepresentation(config, self.bound, self.num_kf)
         self.params, self.buffers = self.scene.init(jax.random.PRNGKey(0))
