@@ -53,8 +53,10 @@ _FIRST_POSE_OVERRIDE = np.array(
 class RemixFusionTPU:
     def __init__(self, config):
         self.config = config
-        self.dataset = get_dataset(config)
+        # finalize intrinsics BEFORE dataset construction so dataset.H/W/K
+        # agree with the crop/resize the loaders apply per frame
         self.update_cam()
+        self.dataset = get_dataset(config)
         self.bound = np.asarray(config["mapping"]["bound"], np.float32)
         self.mc_bound = np.asarray(
             config["mapping"]["marching_cubes_bound"], np.float32)
