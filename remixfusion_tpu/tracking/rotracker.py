@@ -71,6 +71,13 @@ class ROTracker:
         sizes = list(ro["PST_size"])
         tables = pst_mod.load_pst(ro["PST_path"], sizes)
         self.pst = {c: jnp.asarray(tables[c]) for c in range(3)}
+        # transposed+row-padded tables for the Pallas kernel: [slabs, 8, C]
+        import numpy as _np
+        self.pst_t = {
+            c: jnp.asarray(_np.pad(tables[c].transpose(0, 2, 1),
+                                   ((0, 0), (0, 2), (0, 0))))
+            for c in range(3)
+        }
         self.slab_table = jnp.asarray(pst_mod.slab_index_table())
         # Static (class -> stride) map; strides follow count%3 like the
         # reference's DEPTH_LEVEL pattern [32, 16, 8, ...]. The triple is
@@ -306,6 +313,69 @@ class ROTracker:
         cnt = jnp.sum(valid, axis=1)
         return sv / (cnt + 1e-6)
 
+    def _eval_tier_pallas(self, table_t, level, level_index, R, T, ss,
+                          vertex, normal, tsdf_flat, origin):
+        """Pallas-kernel brick evaluation (see ops/pallas/brick_eval.py):
+        identical semantics to _eval_tier_brick, but the candidate transform,
+        brick lookup (one vreg gather) and reduction run fused in VMEM.
+
+        table_t: [8, C] transposed candidate table."""
+        from remixfusion_tpu.ops.pallas.brick_eval import (
+            BRICK_SIDE, brick_eval)
+
+        H, W = self.H, self.W
+        K = self.K
+        dims = self.vol_dims
+        r = BRICK_SIDE // 2
+        side = BRICK_SIDE
+
+        rows = jnp.arange(H // level) * level + level_index
+        cols = jnp.arange(W // level) * level + level_index
+        v = vertex[rows][:, cols].reshape(-1, 4)
+        n = normal[rows][:, cols].reshape(-1, 3)
+        pix_ok = (jnp.any(n != 0, axis=-1)
+                  & jnp.any(v[:, :3] != 0, axis=-1))
+
+        g = v[:, :3] @ R.T
+        gt = v[:, 3]
+        inv_vox = 1.0 / self.voxel_size
+
+        p0 = g + T[None, :]
+        v0 = jnp.round((p0 - origin[None, :]) * inv_vox).astype(jnp.int32)
+        base = jnp.clip(v0 - r, 1, jnp.asarray(dims, jnp.int32) - 1 - side)
+
+        dzx = jnp.arange(side)
+        off = (dzx[:, None, None] * (dims[1] * dims[2])
+               + dzx[None, :, None] * dims[2]
+               + dzx[None, None, :]).reshape(-1)
+        base_flat = (base[:, 0] * (dims[1] * dims[2])
+                     + base[:, 1] * dims[2] + base[:, 2])
+        bricks = tsdf_flat[base_flat[:, None] + off[None, :]]  # [P, 64]
+
+        n_pix = g.shape[0]
+        pad_p = (-n_pix) % 8
+        n_pix_p = n_pix + pad_p
+
+        bricks = jnp.pad(bricks, ((0, pad_p), (0, 128 - side ** 3)))
+        # bases shifted into round(x / voxel) integer-voxel coordinates
+        base_eff = base.astype(jnp.float32) + origin[None, :] * inv_vox
+        pix = jnp.concatenate([
+            g, gt[:, None], base_eff,
+            pix_ok.astype(jnp.float32)[:, None],
+            jnp.zeros((n_pix, 8), jnp.float32),
+        ], axis=-1)
+        pix = jnp.pad(pix, ((0, pad_p), (0, 0)))
+
+        params = jnp.concatenate([
+            R.reshape(-1), T, ss,
+            jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                       jnp.asarray(float(W)), jnp.asarray(float(H)),
+                       jnp.asarray(inv_vox, jnp.float32)]),
+            jnp.zeros(7, jnp.float32),  # pad to 32
+        ])
+        return brick_eval(params, pix, bricks, table_t,
+                          n_cand=table_t.shape[1], n_pix=n_pix_p)
+
     # ------------------------------------------------------ transform step
 
     def _cal_transform(self, value, table_slab, ss):
@@ -369,7 +439,8 @@ class ROTracker:
                 branch = count % 3
                 slab = slab_table[count]
 
-                eval_fn = (self._eval_tier_brick if self.eval_mode == "brick"
+                mode = self.eval_mode
+                eval_fn = (self._eval_tier_brick if mode == "brick"
                            else self._eval_tier)
 
                 def make_branch(cls):
@@ -377,9 +448,16 @@ class ROTracker:
                         R, T, ss, level_index, slab = operands
                         table = jax.lax.dynamic_index_in_dim(
                             self.pst[cls], slab, axis=0, keepdims=False)
-                        value = eval_fn(
-                            table, self.class_level[cls], level_index,
-                            R, T, ss, vertex, normal, tsdf_flat, origin)
+                        if mode == "pallas":
+                            table_t = jax.lax.dynamic_index_in_dim(
+                                self.pst_t[cls], slab, axis=0, keepdims=False)
+                            value = self._eval_tier_pallas(
+                                table_t, self.class_level[cls], level_index,
+                                R, T, ss, vertex, normal, tsdf_flat, origin)
+                        else:
+                            value = eval_fn(
+                                table, self.class_level[cls], level_index,
+                                R, T, ss, vertex, normal, tsdf_flat, origin)
                         return self._cal_transform(value, table, ss) + (value[0],)
                     return fn
 

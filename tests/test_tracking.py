@@ -178,3 +178,61 @@ def test_brick_mode_tracks():
     err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
     assert np.isfinite(out).all()
     assert err_after < err_before * 0.8
+
+
+def test_pallas_brick_eval_matches_xla_brick():
+    """The Pallas kernel must reproduce the XLA brick path's fitness (same
+    bricks, same transform) bit-for-bit up to float reassociation."""
+    cfg = tiny_config(RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1],
+                          "PST_size": [256, 128, 128]},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=4)
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+
+    f = ds[3]
+    depth = jnp.asarray(f["depth"])
+    key = jax.random.PRNGKey(0)
+    vertex = tr._compute_vertex(depth, key)
+    normal = tr._compute_normal(vertex)
+    tsdf_flat = mv.state.tsdf.reshape(-1)
+    R = jnp.asarray(f["c2w"][:3, :3])
+    T = jnp.asarray(f["c2w"][:3, 3])
+    ss = jnp.full(6, 0.02)
+    for cls, lvl in ((0, 4), (2, 1)):
+        table = tr.pst[cls][0]
+        table_t = tr.pst_t[cls][0]
+        vb = np.asarray(jax.jit(lambda: tr._eval_tier_brick(
+            table, lvl, 0, R, T, ss, vertex, normal, tsdf_flat,
+            mv.state.origin))())
+        vp = np.asarray(jax.jit(lambda: tr._eval_tier_pallas(
+            table_t, lvl, 0, R, T, ss, vertex, normal, tsdf_flat,
+            mv.state.origin))())
+        assert vp.shape == vb.shape
+        # boundary voxels can round to an adjacent cell when the offset is
+        # computed in float (kernel) vs int (XLA) coordinates; the fitness
+        # delta stays tiny
+        assert np.abs(vp - vb).max() < 5e-3, (cls, np.abs(vp - vb).max())
+        assert np.abs(vp - vb).mean() < 1e-4
+
+
+def test_pallas_mode_tracks():
+    cfg = tiny_config(RO={"particle_iter_lens": 8, "init_size": 0.03,
+                          "count_search": 100, "depth_level": [4, 2, 1],
+                          "eval_mode": "pallas",
+                          "PST_size": [256, 128, 128]},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=5)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    f = ds[5]
+    gt = f["c2w"]
+    noisy = gt.copy()
+    noisy[:3, 3] += np.array([0.03, -0.02, 0.02], np.float32)
+    err_before = np.abs(noisy[:3, 3] - gt[:3, 3]).mean()
+    res = tracker.do_tracking(mv.state, noisy, jnp.asarray(f["depth"]),
+                              jax.random.PRNGKey(0))
+    out = np.asarray(res.c2w)
+    err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
+    assert np.isfinite(out).all()
+    assert err_after < err_before * 0.85
