@@ -37,10 +37,12 @@ class KeyFrameDatabase:
             valid = (depth > 0.0) & (depth <= self.config["cam"]["depth_trunc"])
             rays_valid = rays[valid]
             if len(rays_valid) > self.num_rays_to_save:
-                idxs = self.rng.choice(len(rays_valid), self.num_rays_to_save,
-                                       replace=False)
+                idxs = self.rng.integers(0, len(rays_valid),
+                                         self.num_rays_to_save)
                 return rays_valid[idxs]
-        idxs = self.rng.choice(n_total, self.num_rays_to_save, replace=False)
+        # O(bs) draws (collisions at ~5% subsampling are immaterial; the
+        # full-pool permutation costs ~0.4 s/keyframe on a 1-core host)
+        idxs = self.rng.integers(0, n_total, self.num_rays_to_save)
         return rays[idxs]
 
     def add_keyframe(self, batch, filter_depth: bool = False):

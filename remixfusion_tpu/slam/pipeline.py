@@ -214,7 +214,7 @@ class RemixFusionTPU:
         out[:3, 3] = pred[:3, 3].astype(np.float32)
         return out
 
-    def _frame_tiles(self, pose, im_h, im_w):
+    def _frame_tiles(self, pose, im_h, im_w, depth=None):
         """Host-side frustum tile selection for the fused track+integrate
         program. Returns (padded offsets [budget, 3] or a dummy, tiled?)."""
         mv = self.mv
@@ -223,10 +223,14 @@ class RemixFusionTPU:
         from remixfusion_tpu.ops.tsdf import frustum_tiles
         # host-side origin copy (reading state.origin would sync the device)
         origin = mv.vol_bnds[:, 0]
+        max_depth = None
+        if depth is not None:
+            # only voxels closer than max(depth) + trunc can change
+            max_depth = float(np.max(depth)) + mv.trunc_margin + 0.1
         offs = frustum_tiles(
             mv.dims, mv.tile, origin, mv.voxel_size,
             np.asarray(self.dataset.K()), pose, im_h, im_w,
-            pad_px=16)
+            max_depth=max_depth, pad_px=16)
         if len(offs) > mv.tile_budget:
             return jnp.zeros((1, 3), jnp.int32), False
         pad = np.full((mv.tile_budget - len(offs), 3), -1, np.int32)
@@ -284,7 +288,8 @@ class RemixFusionTPU:
         self.mv.check_move(frame_id, init)
 
         im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
-        offsets, tiled = self._frame_tiles(init, im_h, im_w)
+        offsets, tiled = self._frame_tiles(init, im_h, im_w,
+                                           depth=batch["depth"])
         key = ("tf", im_h, im_w, tiled)
         if not hasattr(self, "_tf_fns"):
             self._tf_fns = {}
