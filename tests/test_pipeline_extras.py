@@ -1,0 +1,120 @@
+import os
+
+import numpy as np
+import jax
+
+from helpers import tiny_config
+from remixfusion_tpu.slam import RemixFusionTPU
+
+
+def small_cfg(tmp_path, **over):
+    base = dict(
+        data={"output": str(tmp_path), "exp_name": "x",
+              "synthetic": {"n_frames": 6, "orbit_degrees": 10.0}},
+        RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1]},
+        mapping={"first_iters": 4, "iters": 1, "BA_iters": 1,
+                 "keyframe_every": 2, "map_every": 2, "sample": 64},
+        mesh={"vis": 0, "voxel_final": 0.2},
+    )
+    for k, v in over.items():
+        if k in base and isinstance(v, dict):
+            base[k].update(v)
+        else:
+            base[k] = v
+    return tiny_config(**base)
+
+
+def test_more_volume_version_runs(tmp_path):
+    cfg = small_cfg(tmp_path, volume={"version": "more", "first_len": 2,
+                                      "second_len": 2, "third_len": 2})
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    for i in range(1, 6):
+        slam.track_frame(i, slam.dataset[i])
+    assert np.isfinite(slam.est_c2w_data[:6]).all()
+    assert slam.mv.version == "more"
+
+
+def test_render_frame_and_render_img(tmp_path):
+    cfg = small_cfg(tmp_path)
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    b = slam.dataset[0]
+    rgb, depth = slam.render_frame(b["c2w"], b["direction"], gap=4,
+                                   target_depth=b["depth"])
+    assert rgb.shape == (12, 16, 3)
+    assert depth.shape == (12, 16)
+    assert np.isfinite(rgb).all() and np.isfinite(depth).all()
+    out = slam.render_img(0, b["depth"], b["rgb"], b["c2w"], b["direction"],
+                          gap=8)
+    assert os.path.exists(out)
+
+
+def test_rendering_eval_metrics(tmp_path):
+    from rendering_eval import calc_2d_metric
+    cfg = small_cfg(tmp_path, data={
+        "output": str(tmp_path), "exp_name": "re",
+        "synthetic": {"n_frames": 4, "orbit_degrees": 6.0}})
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    for i in range(1, 4):
+        slam.track_frame(i, slam.dataset[i])
+    poses = slam.convert_relative_pose_npy()
+    m = calc_2d_metric(slam, poses, gap=2)
+    assert np.isfinite(m["psnr"]) and np.isfinite(m["depth_l1"])
+    assert -1.0 <= m["ssim"] <= 1.0
+
+
+def test_update_gbv_refusion(tmp_path):
+    cfg = small_cfg(tmp_path)
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    for i in range(1, 5):
+        slam.track_frame(i, slam.dataset[i])
+        while slam.tracking_idx > slam.mapping_idx + 2:
+            cur = slam.mapping_idx + 2
+            if cur >= 6:
+                break
+            slam.mapping_round(cur)
+    w_before = float(np.asarray(slam.buffers.gbw).sum())
+    slam.update_GBV(4)
+    w_after = float(np.asarray(slam.buffers.gbw).sum())
+    assert w_before > 0 and w_after > 0
+
+
+def test_viz_tools(tmp_path):
+    from remixfusion_tpu.tools.viz import plot_trajectory, shade_depth
+    poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 1, 5)
+    out = plot_trajectory(poses, poses, str(tmp_path / "traj.png"))
+    assert os.path.exists(out)
+    img = shade_depth(np.full((8, 8), 2.0, np.float32))
+    assert img.shape == (8, 8) and img.dtype == np.uint8
+
+
+def test_trajectory_tum_roundtrip(tmp_path):
+    from remixfusion_tpu.core.traj import Trajectory
+    from scipy.spatial.transform import Rotation
+    t = Trajectory()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        c2w = np.eye(4)
+        c2w[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+        c2w[:3, 3] = rng.normal(size=3)
+        t.add(float(i), c2w)
+    path = str(tmp_path / "traj.txt")
+    t.write_tum(path)
+    t2 = Trajectory.read_tum(path)
+    assert len(t2) == 4
+    assert np.allclose(t2.as_array(), t.as_array(), atol=1e-5)
+
+
+def test_pose_noise():
+    from remixfusion_tpu.utils.noise import add_noise
+    pose = np.eye(4)
+    rng = np.random.default_rng(0)
+    noisy = add_noise(pose, 0.05, 0.02, rng=rng)
+    assert 0 < np.abs(noisy[:3, 3]).max() <= 0.02 + 1e-9
+    R = noisy[:3, :3]
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-8)
+    assert not np.allclose(R, np.eye(3))
