@@ -94,6 +94,7 @@ class Mapper:
 
         # Cache of jitted steps keyed by ray-batch shape bucket.
         self._map_step_fns = {}
+        self._map_fused_fns = {}
         self._ba_step_fns = {}
         self._integrate_fns = {}
 
@@ -201,6 +202,69 @@ class Mapper:
             params, buffers, self.map_opt_state,
             jnp.asarray(ray_batches), jnp.asarray(rays_o_b),
             jnp.asarray(rays_d_b), key)
+        return params, losses
+
+    # ------------------------------------------- fused mapping (in-jit rays)
+
+    def _build_map_step_fused(self, n_iters: int, n_rays: int):
+        """Like _build_map_step, but camera-frame rays are rotated to world
+        INSIDE the program from a pose array (non-differentiated) with the
+        current keyframe's pose taken from the RBA net (detached) — exactly
+        the reference's global_mapping pose handling (mapper.py:385-390).
+        Eliminates the per-round rba readback and host einsums."""
+        scene = self.scene
+        tx = self.map_tx
+
+        def loss_fn(params, buffers, rays, ids, poses_all, key):
+            per_ray = poses_all[ids]
+            dirs = rays[:, :3]
+            rays_d = jnp.einsum("ni,nji->nj", dirs, per_ray[:, :3, :3],
+                                precision=jax.lax.Precision.HIGHEST)
+            rays_o = per_ray[:, :3, 3]
+            k1, k2 = jax.random.split(key)
+            ret = scene.mapping_losses(
+                params, buffers, k1, rays_o, rays_d,
+                rays[:, 3:6], rays[:, 6:7])
+            return self._weighted_loss(ret, True, params, buffers, k2)
+
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, buffers, opt_state, ray_batches, id_batches,
+                 kf_poses, cur_kf_id, key):
+            # poses: tracker/BA estimates with the current keyframe's pose
+            # refreshed from the (detached) RBA forward
+            cur_pose = scene.rba(jax.lax.stop_gradient(params.rba),
+                                 buffers.rba, cur_kf_id[None])[0]
+            poses_all = jax.lax.stop_gradient(
+                jnp.asarray(kf_poses).at[cur_kf_id].set(cur_pose))
+
+            def body(carry, inp):
+                params, opt_state = carry
+                rays, ids, k = inp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, buffers, rays, ids, poses_all, k)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(key, n_iters)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (ray_batches, id_batches, keys))
+            return params, opt_state, losses
+
+        return step
+
+    def map_step_fused(self, params, buffers, ray_batches, id_batches,
+                       kf_poses, cur_kf_id, key):
+        """ray_batches [I, N, 7] camera-frame; id_batches [I, N] keyframe
+        ids; kf_poses [num_kf, 4, 4] (stale entry at cur_kf_id is replaced
+        in-program by the RBA forward)."""
+        shape = (int(ray_batches.shape[0]), int(ray_batches.shape[1]))
+        if shape not in self._map_fused_fns:
+            self._map_fused_fns[shape] = self._build_map_step_fused(*shape)
+        params, self.map_opt_state, losses = self._map_fused_fns[shape](
+            params, buffers, self.map_opt_state, jnp.asarray(ray_batches),
+            jnp.asarray(id_batches), jnp.asarray(kf_poses),
+            jnp.asarray(cur_kf_id, jnp.int32), key)
         return params, losses
 
     # ------------------------------------------------------------- BA step

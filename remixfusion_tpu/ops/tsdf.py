@@ -403,13 +403,12 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
     front = z > 0
     any_front = front.any(1)
     # conservative: if all front corners are beyond one image border, skip
-    u_f = np.where(front, u, np.nan)
-    v_f = np.where(front, v, np.nan)
-    with np.errstate(invalid="ignore"):
-        out_l = np.nanmax(u_f, 1) < -pad_px
-        out_r = np.nanmin(u_f, 1) >= im_w + pad_px
-        out_t = np.nanmax(v_f, 1) < -pad_px
-        out_b = np.nanmin(v_f, 1) >= im_h + pad_px
+    # ±inf sentinels for behind-camera corners (ignored by the max/min
+    # tests; all-behind tiles are dropped by any_front anyway)
+    out_l = np.where(front, u, -np.inf).max(1) < -pad_px
+    out_r = np.where(front, u, np.inf).min(1) >= im_w + pad_px
+    out_t = np.where(front, v, -np.inf).max(1) < -pad_px
+    out_b = np.where(front, v, np.inf).min(1) >= im_h + pad_px
     keep = any_front & ~(out_l | out_r | out_t | out_b)
     if max_depth is not None:
         keep &= np.where(front, z, np.inf).min(1) <= max_depth

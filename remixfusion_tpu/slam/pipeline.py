@@ -373,29 +373,21 @@ class RemixFusionTPU:
         return np.stack(rays_b), np.stack(ids_b), cur_kf_id
 
     def global_mapping(self, batch, cur_frame_id):
-        """(reference mapper.py:366-423)"""
+        """(reference mapper.py:366-423). Poses ride to the device once; the
+        current keyframe's pose comes from the (detached) RBA forward inside
+        the program (reference mapper.py:385-390)."""
         kf_every = self.config["mapping"]["keyframe_every"]
         iters = self.config["mapping"]["iters"]
         rays_b, ids_b, cur_kf_id = self._assemble_batches(
             batch, cur_frame_id, iters, for_ba=False)
 
-        # keyframe poses: tracker/BA estimates, with the current keyframe's
-        # pose taken from the RBA net (reference mapper.py:385-390)
-        kf_ids = np.arange(cur_kf_id + 1)
-        poses_kf = self.est_c2w_data[kf_ids * kf_every].copy()
-        poses_kf[-1] = np.asarray(self.scene.rba(
-            self.params.rba, self.buffers.rba,
-            jnp.asarray([cur_kf_id])))[0]
-
-        ro_b, rd_b = [], []
-        for i in range(iters):
-            per_ray_pose = poses_kf[ids_b[i]]
-            o, d = Mapper.rays_to_world_np(rays_b[i], per_ray_pose)
-            ro_b.append(o)
-            rd_b.append(d)
-        self.params, losses = self.mapper.map_step(
-            self.params, self.buffers, rays_b, np.stack(ro_b),
-            np.stack(rd_b), self._next_key())
+        kf_poses = np.zeros((self.num_kf, 4, 4), np.float32)
+        n_valid = cur_kf_id + 1
+        kf_poses[:n_valid] = self.est_c2w_data[
+            np.arange(n_valid) * kf_every]
+        self.params, losses = self.mapper.map_step_fused(
+            self.params, self.buffers, rays_b, ids_b, kf_poses, cur_kf_id,
+            self._next_key())
         return losses
 
     def global_pose(self, batch, cur_frame_id):
