@@ -62,7 +62,7 @@ def main():
                 break
             slam.mapping_round(cur_map_id)
     # Force completion of in-flight device work before stopping the clock.
-    np.asarray(slam.mv.state.weight[0, 0, 0])
+    np.asarray(slam.mv.state.weight.reshape(-1)[0])
     import jax
     np.asarray(jax.tree_util.tree_leaves(slam.params)[0]).ravel()[0]
     elapsed = time.perf_counter() - t_start

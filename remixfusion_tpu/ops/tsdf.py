@@ -484,3 +484,327 @@ def extract_truncated_points(vol: VolumeState, voxel_size, trunc_margin, trunc_t
     tsdf = np.asarray(vol.tsdf)[mask] * trunc_margin
     rgb = np.asarray(vol.color)[mask]
     return np.concatenate([pts, tsdf[:, None], rgb], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Brick-granular batched fusion
+#
+# The scan-based tiled fuser costs ~10 ms of fixed overhead per scan step on
+# a v5e through the relay, which forces coarse tiles and caps the win from
+# frustum culling. This family instead fuses a *batch* of small bricks in one
+# pass: z-run rows of every selected brick are fetched with ONE gather,
+# updated with the exact local-fusion math (reference Volume.py:196-336), and
+# written back with ONE unique-index scatter. Brick selection happens on the
+# host: near-surface bricks by splatting the depth map into brick space, and
+# in-frustum free-space bricks (carving) rotated round-robin over
+# `freespace_every` frames so the per-frame budget stays fixed.
+
+
+def _fuse_local_update(tsdf, weight, color, px, py, pz, img_pack, K, c2w,
+                       trunc_margin, obs_weight, im_h, im_w, weight_clamp):
+    """Local-volume fusion update (reference Volume.py:196-336) on arrays of
+    any shape S (tsdf/weight/px/py/pz: [*S]; color: [*S, 3];
+    img_pack: [H*W, 4] = (depth, r, g, b) per pixel).
+
+    This is the same math as fuse_frame's local mode; the brick fuser reuses
+    it on gathered rows so the two paths cannot diverge."""
+    cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
+    in_front = cam_z > 0
+    in_image = (pix_x >= 0) & (pix_x < im_w) & (pix_y >= 0) & (pix_y < im_h)
+    pix_x_c = jnp.clip(pix_x, 0, im_w - 1)
+    pix_y_c = jnp.clip(pix_y, 0, im_h - 1)
+    flat_pix = (pix_y_c * im_w + pix_x_c).reshape(-1)
+    gathered = img_pack[flat_pix]
+    shape = pix_x.shape
+    depth_val = gathered[:, 0].reshape(shape)
+    new_c = gathered[:, 1:].reshape(shape + (3,))
+    valid_depth = depth_val > 0
+
+    vec_x = (pix_x_c.astype(jnp.float32) - K[0, 2]) / K[0, 0]
+    vec_y = (pix_y_c.astype(jnp.float32) - K[1, 2]) / K[1, 1]
+    lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
+    cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y + cam_z * cam_z)
+    sdf = -((cam_norm / lam) - depth_val)
+
+    within_trunc = sdf >= -trunc_margin
+    update = in_front & in_image & valid_depth & within_trunc
+
+    dist = jnp.minimum(1.0, sdf / trunc_margin)
+    w_new = weight + obs_weight
+    inv_w_new = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
+    new_tsdf = (tsdf * weight + obs_weight * dist) * inv_w_new
+    fused_c = (color * weight[..., None] + obs_weight * new_c) \
+        * inv_w_new[..., None]
+
+    new_weight = w_new
+    if weight_clamp:
+        new_weight = jnp.minimum(w_new, 40.0)
+    color_band = update & (sdf <= trunc_margin)
+    fused_c = jnp.minimum(jnp.rint(fused_c), 255.0)
+    tsdf_out = jnp.where(update, new_tsdf, tsdf)
+    weight_out = jnp.where(update, new_weight, weight)
+    color_out = jnp.where(color_band[..., None], fused_c, color)
+    return tsdf_out, weight_out, color_out
+
+
+def make_brick_fuser(dims, b, budget, *, voxel_size, trunc_margin, im_h,
+                     im_w, weight_clamp, scale_rgb):
+    """Build a jitted batched brick fuser over a dense [X, Y, Z] volume.
+
+    Bricks are b-cubes aligned to the voxel grid (all dims divisible by b).
+    The fuser takes `bricks` [budget, 3] int32 brick coordinates (rows with
+    bricks[:, 0] < 0 are padding) and updates exactly the covered voxels with
+    the local-fusion math. One gather + one scatter over z-run rows — no
+    per-tile scan, so fine bricks and tight host-side culling are free."""
+    X, Y, Z = dims
+    assert X % b == 0 and Y % b == 0 and Z % b == 0, (dims, b)
+    ZR = Z // b
+    NR = X * Y * ZR  # number of z-run rows
+    import numpy as np
+    ii, jj = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    ii = jnp.asarray(ii[None], jnp.int32)  # [1, b, b] x-offset within brick
+    jj = jnp.asarray(jj[None], jnp.int32)  # [1, b, b] y-offset within brick
+    kz = jnp.arange(b, dtype=jnp.float32)  # z within row
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fuse(tsdf, weight, color, bricks, depth_im, color_im, K, c2w,
+             origin, obs_weight):
+        valid_b = bricks[:, 0] >= 0
+        bx = jnp.maximum(bricks[:, 0], 0)[:, None, None]
+        by = jnp.maximum(bricks[:, 1], 0)[:, None, None]
+        bz = jnp.maximum(bricks[:, 2], 0)[:, None, None]
+        gx = bx * b + ii  # [B, b, b] voxel x
+        gy = by * b + jj
+        rows = (gx * Y + gy) * ZR + bz  # [B, b, b]
+        B = bricks.shape[0]
+        # padding rows -> distinct out-of-range ids (dropped on scatter,
+        # filled on gather; distinctness keeps unique_indices honest)
+        pad_ids = NR + jax.lax.broadcasted_iota(
+            jnp.int32, (B, b, b), 0) * (b * b) \
+            + jax.lax.broadcasted_iota(jnp.int32, (B, b, b), 1) * b \
+            + jax.lax.broadcasted_iota(jnp.int32, (B, b, b), 2)
+        rows = jnp.where(valid_b[:, None, None], rows, pad_ids)
+        rows_f = rows.reshape(-1)  # [B*b*b]
+
+        tv = tsdf.reshape(NR, b)
+        wv = weight.reshape(NR, b)
+        cv = color.reshape(NR, b, 3)
+        t = tv.at[rows_f].get(mode="fill", fill_value=1.0)
+        w = wv.at[rows_f].get(mode="fill", fill_value=0.0)
+        c = cv.at[rows_f].get(mode="fill", fill_value=0.0)
+
+        shape = (B * b * b, b)
+        px = origin[0] + gx.reshape(-1, 1).astype(jnp.float32) * voxel_size
+        py = origin[1] + gy.reshape(-1, 1).astype(jnp.float32) * voxel_size
+        # z coord: row z-start + k
+        z0 = jnp.broadcast_to((bz * b).astype(jnp.float32),
+                              (B, b, b)).reshape(-1, 1)
+        pz = origin[2] + (z0 + kz[None, :]) * voxel_size
+        px = jnp.broadcast_to(px, shape)
+        py = jnp.broadcast_to(py, shape)
+        pz = jnp.broadcast_to(pz, shape)
+
+        if scale_rgb:
+            color_im = jnp.floor(color_im * 255.0)
+        img_pack = jnp.concatenate(
+            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
+
+        t2, w2, c2 = _fuse_local_update(
+            t, w, c, px, py, pz, img_pack, K, c2w,
+            trunc_margin, obs_weight, im_h, im_w, weight_clamp)
+
+        tv = tv.at[rows_f].set(t2, mode="drop", unique_indices=True)
+        wv = wv.at[rows_f].set(w2, mode="drop", unique_indices=True)
+        cv = cv.at[rows_f].set(c2, mode="drop", unique_indices=True)
+        return (tv.reshape(X, Y, Z), wv.reshape(X, Y, Z),
+                cv.reshape(X, Y, Z, 3))
+
+    return fuse
+
+
+def select_fusion_bricks(dims, b, origin, voxel_size, K, c2w, depth,
+                         trunc_margin, budget, fs_phase=0, fs_every=4,
+                         splat_stride=4, pad_px=16.0):
+    """Host-side brick selection for make_brick_fuser.
+
+    Near-surface bricks (every frame): splat the depth map's 3D points,
+    dilated by the truncation band, into brick space. Free-space bricks
+    (carving, reference Volume.py:280-300 updates all voxels in front of the
+    surface): in-frustum bricks outside the near band, rotated so each is
+    fused every `fs_every` frames. Returns ([budget, 3] int32 brick coords
+    padded with -1, n_near, n_selected)."""
+    import numpy as np
+    X, Y, Z = dims
+    BX, BY, BZ = X // b, Y // b, Z // b
+    K = np.asarray(K, np.float64)
+    c2w = np.asarray(c2w, np.float64)
+    depth = np.asarray(depth)
+    origin = np.asarray(origin, np.float64)
+    bs = b * voxel_size
+    H, W = depth.shape
+
+    # --- near band: depth-point splat with +/- (trunc + coverage margin)
+    d_s = depth[::splat_stride, ::splat_stride]
+    ys, xs = np.mgrid[0:H:splat_stride, 0:W:splat_stride]
+    ok = d_s > 0
+    d = d_s[ok]
+    xs = xs[ok].astype(np.float64)
+    ys = ys[ok].astype(np.float64)
+    dmax = float(d.max()) if d.size else 0.0
+    cx = (xs - K[0, 2]) / K[0, 0] * d
+    cy = (ys - K[1, 2]) / K[1, 1] * d
+    pts = np.stack([cx, cy, d], -1) @ c2w[:3, :3].T + c2w[:3, 3]
+    # margin: truncation band + worst-case gap between splatted pixels
+    gap = splat_stride * dmax / min(K[0, 0], K[1, 1])
+    m = trunc_margin + gap + voxel_size
+    near = set()
+    if d.size:
+        offs = np.array([[sx, sy, sz] for sx in (-m, m) for sy in (-m, m)
+                         for sz in (-m, m)])
+        cell = np.floor((pts[:, None, :] + offs[None] - origin) / bs) \
+            .astype(np.int64).reshape(-1, 3)
+        in_r = ((cell >= 0).all(1) & (cell[:, 0] < BX) & (cell[:, 1] < BY)
+                & (cell[:, 2] < BZ))
+        cell = cell[in_r]
+        flat = (cell[:, 0] * BY + cell[:, 1]) * BZ + cell[:, 2]
+        near_flat = np.unique(flat)
+    else:
+        near_flat = np.zeros(0, np.int64)
+
+    # --- in-frustum bricks (8-corner test, like frustum_tiles)
+    bxyz = np.stack(np.meshgrid(np.arange(BX), np.arange(BY), np.arange(BZ),
+                                indexing="ij"), -1).reshape(-1, 3)
+    base_w = origin + bxyz * bs
+    corner = np.array([[dx_, dy_, dz_] for dx_ in (0, bs) for dy_ in (0, bs)
+                       for dz_ in (0, bs)])
+    pts8 = base_w[:, None, :] + corner[None]  # [NB, 8, 3]
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    cam = (pts8 - t) @ R  # w2c: R^T (x - t); (x-t) @ R == R^T(x-t)
+    z = cam[:, :, 2]
+    front = z > 0
+    any_front = front.any(1)
+    eps = 1e-6
+    u = K[0, 0] * cam[:, :, 0] / np.maximum(z, eps) + K[0, 2]
+    v = K[1, 1] * cam[:, :, 1] / np.maximum(z, eps) + K[1, 2]
+    out_l = np.where(front, u, -np.inf).max(1) < -pad_px
+    out_r = np.where(front, u, np.inf).min(1) >= W + pad_px
+    out_t = np.where(front, v, -np.inf).max(1) < -pad_px
+    out_b = np.where(front, v, np.inf).min(1) >= H + pad_px
+    near_cam = np.where(front, z, np.inf).min(1)
+    in_fr = (any_front & ~(out_l | out_r | out_t | out_b)
+             & (near_cam <= dmax + trunc_margin + bs))
+    fr_flat = ((bxyz[:, 0] * BY + bxyz[:, 1]) * BZ + bxyz[:, 2])[in_fr]
+
+    fs_flat = np.setdiff1d(fr_flat, near_flat, assume_unique=False)
+    if fs_every > 1:
+        fs_flat = fs_flat[fs_flat % fs_every == fs_phase % fs_every]
+
+    n_near = len(near_flat)
+    if n_near > budget:
+        near_flat = near_flat[:budget]
+        n_near = budget
+    sel = np.concatenate([near_flat, fs_flat[:budget - n_near]])
+    coords = np.stack([sel // (BY * BZ), (sel // BZ) % BY, sel % BZ],
+                      -1).astype(np.int32)
+    pad = np.full((budget - len(sel), 3), -1, np.int32)
+    return np.concatenate([coords, pad], 0), n_near, len(sel)
+
+
+# --------------------------------------------------------------------------
+# Brick-major storage
+#
+# The z-run brick fuser above still pays per-ROW gather/scatter costs for the
+# b^2 rows of every brick (plus 3 separate arrays), which measures ~450 ms on
+# a 300^3 volume. Storing the volume brick-major — [NB, b^3] with brick
+# (bx,by,bz) at row (bx*BY+by)*BZ+bz and voxel (i,j,k) at (i*b+j)*b+k — makes
+# each brick ONE contiguous row: the whole fusion batch moves with a single
+# budget-row gather and a single unique-index scatter. Random per-voxel reads
+# (tracking) pay the same per-row cost as dense; only the index arithmetic
+# changes (see ROTracker brick_layout).
+
+
+def bm_to_dense(arr: jnp.ndarray, dims, b: int) -> jnp.ndarray:
+    """[NB, b^3, *C] brick-major -> [X, Y, Z, *C] dense."""
+    X, Y, Z = dims
+    BX, BY, BZ = X // b, Y // b, Z // b
+    ch = arr.shape[2:]
+    a = arr.reshape((BX, BY, BZ, b, b, b) + ch)
+    perm = (0, 3, 1, 4, 2, 5) + tuple(6 + i for i in range(len(ch)))
+    return jnp.transpose(a, perm).reshape((X, Y, Z) + ch)
+
+
+def dense_to_bm(arr: jnp.ndarray, b: int) -> jnp.ndarray:
+    """[X, Y, Z, *C] dense -> [NB, b^3, *C] brick-major."""
+    X, Y, Z = arr.shape[:3]
+    ch = arr.shape[3:]
+    BX, BY, BZ = X // b, Y // b, Z // b
+    a = arr.reshape((BX, b, BY, b, BZ, b) + ch)
+    perm = (0, 2, 4, 1, 3, 5) + tuple(6 + i for i in range(len(ch)))
+    return jnp.transpose(a, perm).reshape((BX * BY * BZ, b ** 3) + ch)
+
+
+def bm_vox_flat(layout, vx, vy, vz):
+    """Flat index of voxel (vx, vy, vz) in a reshape(-1) of a brick-major
+    array. layout = (b, BY, BZ)."""
+    b, BY, BZ = layout
+    b3 = b * b * b
+    bid = ((vx // b) * BY + vy // b) * BZ + vz // b
+    within = ((vx % b) * b + vy % b) * b + vz % b
+    return bid * b3 + within
+
+
+def make_brick_fuser_bm(dims, b, budget, *, voxel_size, trunc_margin, im_h,
+                        im_w, weight_clamp, scale_rgb):
+    """Batched brick fuser over brick-major state.
+
+    State: tsdf/weight [NB, b^3], color [NB, b^3, 3]. `bricks` [budget, 3]
+    int32 brick coords (-1 padding). One gather + one unique-index scatter of
+    `budget` contiguous rows per array; the exact local-fusion math
+    (_fuse_local_update, reference Volume.py:196-336) in between."""
+    X, Y, Z = dims
+    assert X % b == 0 and Y % b == 0 and Z % b == 0, (dims, b)
+    BX, BY, BZ = X // b, Y // b, Z // b
+    NB = BX * BY * BZ
+    b3 = b ** 3
+    import numpy as np
+    wi = np.arange(b3)
+    ii = jnp.asarray((wi // (b * b))[None], jnp.int32)  # [1, b3] x offset
+    jj = jnp.asarray(((wi // b) % b)[None], jnp.int32)
+    kk = jnp.asarray((wi % b)[None], jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fuse(tsdf_bm, weight_bm, color_bm, bricks, depth_im, color_im, K,
+             c2w, origin, obs_weight):
+        valid_b = bricks[:, 0] >= 0
+        bx = jnp.maximum(bricks[:, 0], 0)
+        by = jnp.maximum(bricks[:, 1], 0)
+        bz = jnp.maximum(bricks[:, 2], 0)
+        B = bricks.shape[0]
+        ids = jnp.where(valid_b, (bx * BY + by) * BZ + bz,
+                        NB + jnp.arange(B, dtype=jnp.int32))
+        t = tsdf_bm.at[ids].get(mode="fill", fill_value=1.0)   # [B, b3]
+        w = weight_bm.at[ids].get(mode="fill", fill_value=0.0)
+        c = color_bm.at[ids].get(mode="fill", fill_value=0.0)
+
+        vx = bx[:, None] * b + ii
+        vy = by[:, None] * b + jj
+        vz = bz[:, None] * b + kk
+        px = origin[0] + vx.astype(jnp.float32) * voxel_size
+        py = origin[1] + vy.astype(jnp.float32) * voxel_size
+        pz = origin[2] + vz.astype(jnp.float32) * voxel_size
+
+        if scale_rgb:
+            color_im = jnp.floor(color_im * 255.0)
+        img_pack = jnp.concatenate(
+            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
+
+        t2, w2, c2 = _fuse_local_update(
+            t, w, c, px, py, pz, img_pack, K, c2w,
+            trunc_margin, obs_weight, im_h, im_w, weight_clamp)
+
+        return (tsdf_bm.at[ids].set(t2, mode="drop", unique_indices=True),
+                weight_bm.at[ids].set(w2, mode="drop", unique_indices=True),
+                color_bm.at[ids].set(c2, mode="drop", unique_indices=True))
+
+    return fuse

@@ -89,13 +89,16 @@ class RemixFusionTPU:
         self.mv = MovingVolume(config, init_pose)
         self.tracker = ROTracker(
             config, self.dataset.H, self.dataset.W, self.dataset.K(),
-            self.mv.dims, self.mv.voxel_size)
+            self.mv.dims, self.mv.voxel_size,
+            brick_layout=self.mv.brick_layout())
         self.K_dev = jnp.asarray(self.dataset.K())
         # Seed the local volume with the first frame (reference
         # ROtracker.py:132 integrates frame 0 at tracker construction).
         batch0 = self.dataset[0]
+        # full sweep for the seed so the whole frustum (incl. free space)
+        # starts carved; per-frame fusion then uses the brick fast path
         self.mv.integrate(batch0["rgb"], batch0["depth"], self.K_dev,
-                          init_pose, rgb_is_unit=True)
+                          init_pose, rgb_is_unit=True, full_sweep=True)
 
         self.mapping_idx = 0
         self.tracking_idx = 0
@@ -236,7 +239,14 @@ class RemixFusionTPU:
         pad = np.full((mv.tile_budget - len(offs), 3), -1, np.int32)
         return jnp.asarray(np.concatenate([offs, pad], axis=0)), True
 
-    def _build_track_and_fuse(self, im_h, im_w, tiled: bool):
+    def _frame_bricks(self, pose, depth):
+        """Host-side brick selection (near-surface splat + rotated free-space
+        carving set) for the fused track+integrate program. Returns
+        (bricks, bucket)."""
+        return self.mv.frame_bricks(np.asarray(pose), np.asarray(depth),
+                                    self.dataset.K())
+
+    def _build_track_and_fuse(self, im_h, im_w, mode: str):
         """One device program per frame: randomized-optimization tracking
         followed by local-volume fusion at the optimized pose. Collapses the
         per-frame host<->device traffic to one dispatch + one small pose
@@ -245,7 +255,24 @@ class RemixFusionTPU:
         mv = self.mv
         from functools import partial
 
-        if tiled:
+        if isinstance(mode, tuple) and mode[0] == "brick":
+            from remixfusion_tpu.ops.tsdf import make_brick_fuser_bm
+            fuse = make_brick_fuser_bm(
+                mv.dims, mv.brick, mode[1],
+                voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
+                im_h=im_h, im_w=im_w, weight_clamp=mv.weight_clamp,
+                scale_rgb=True)
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
+                     init_pose, key, ss):
+                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
+                                     depth, key, ss)
+                t2, w2, c2 = fuse(tsdf, weight, color, offsets, depth, rgb,
+                                  K, res.c2w, origin,
+                                  jnp.asarray(1.0, jnp.float32))
+                return res, t2, w2, c2
+        elif mode == "tiled":
             from remixfusion_tpu.ops.tsdf import make_tiled_fuser
             fuse = make_tiled_fuser(
                 mv.dims, mv.tile, mv.tile_budget,
@@ -288,13 +315,18 @@ class RemixFusionTPU:
         self.mv.check_move(frame_id, init)
 
         im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
-        offsets, tiled = self._frame_tiles(init, im_h, im_w,
-                                           depth=batch["depth"])
-        key = ("tf", im_h, im_w, tiled)
+        if self.mv.brick:
+            offsets, bucket = self._frame_bricks(init, batch["depth"])
+            mode = ("brick", bucket)
+        else:
+            offsets, tiled = self._frame_tiles(init, im_h, im_w,
+                                               depth=batch["depth"])
+            mode = "tiled" if tiled else "full"
+        key = ("tf", im_h, im_w, mode)
         if not hasattr(self, "_tf_fns"):
             self._tf_fns = {}
         if key not in self._tf_fns:
-            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, tiled)
+            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, mode)
         st = self.mv.state
         res, tsdf, weight, color = self._tf_fns[key](
             st.tsdf, st.weight, st.color, st.origin, offsets,

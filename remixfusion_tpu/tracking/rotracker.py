@@ -39,13 +39,18 @@ class TrackResult(NamedTuple):
 
 class ROTracker:
     def __init__(self, cfg, H: int, W: int, K: np.ndarray,
-                 vol_dims, voxel_size: float):
+                 vol_dims, voxel_size: float, brick_layout=None):
         self.cfg = cfg
         ro = cfg["RO"]
         self.H, self.W = H, W
         self.K = jnp.asarray(K, jnp.float32)
         self.vol_dims = tuple(int(d) for d in vol_dims)
         self.voxel_size = float(voxel_size)
+        # brick_layout = (b, BY, BZ) when the local volume is stored
+        # brick-major ([NB, b^3], see ops.tsdf.make_brick_fuser_bm); the
+        # flattened-index arithmetic below switches accordingly. The voxels
+        # read are identical either way.
+        self.brick_layout = tuple(brick_layout) if brick_layout else None
 
         # 'gather': one random volume gather per (candidate, pixel) — exact
         # reference semantics. 'brick': per-pixel 4^3 TSDF bricks around the
@@ -147,6 +152,15 @@ class ROTracker:
         border = (ii < 1) | (ii > H - 2) | (jj < 1) | (jj > W - 2)
         return jnp.where(border[..., None], 1.0, n)
 
+    def _vox_flat(self, vx, vy, vz):
+        """Flat index of voxel (vx, vy, vz) in tsdf_flat (dense reshape(-1)
+        or brick-major reshape(-1), per self.brick_layout)."""
+        if self.brick_layout is None:
+            dims = self.vol_dims
+            return vx * (dims[1] * dims[2]) + vy * dims[2] + vz
+        from remixfusion_tpu.ops.tsdf import bm_vox_flat
+        return bm_vox_flat(self.brick_layout, vx, vy, vz)
+
     # ------------------------------------------------- candidate evaluation
 
     def _eval_tier(self, table_slab, level, level_index, R, T, ss,
@@ -213,7 +227,7 @@ class ROTracker:
         vx = jnp.clip(vx, 0, dims[0] - 1)
         vy = jnp.clip(vy, 0, dims[1] - 1)
         vz = jnp.clip(vz, 0, dims[2] - 1)
-        idx = vx * (dims[1] * dims[2]) + vy * dims[2] + vz
+        idx = self._vox_flat(vx, vy, vz)
         tsdf_v = tsdf_flat[idx]                       # [C, P] gather
 
         valid = pix_ok[None, :] & in_img & in_vol
@@ -254,14 +268,16 @@ class ROTracker:
         v0 = jnp.round((p0 - origin[None, :]) * inv_vox).astype(jnp.int32)
         base = jnp.clip(v0 - r, 1, jnp.asarray(dims, jnp.int32) - 1 - side)
 
-        # Gather the bricks: [P, n_cells]
+        # Gather the bricks: [P, n_cells] (explicit per-cell coordinates so
+        # the same code serves dense and brick-major volume layouts)
         dzx = jnp.arange(side)
-        off = (dzx[:, None, None] * (dims[1] * dims[2])
-               + dzx[None, :, None] * dims[2]
-               + dzx[None, None, :]).reshape(-1)
-        base_flat = (base[:, 0] * (dims[1] * dims[2])
-                     + base[:, 1] * dims[2] + base[:, 2])
-        brick = tsdf_flat[base_flat[:, None] + off[None, :]]  # [P, n_cells]
+        ox_s = jnp.repeat(dzx, side * side)
+        oy_s = jnp.tile(jnp.repeat(dzx, side), side)
+        oz_s = jnp.tile(dzx, side * side)
+        cell_idx = self._vox_flat(base[:, 0:1] + ox_s[None, :],
+                                  base[:, 1:2] + oy_s[None, :],
+                                  base[:, 2:3] + oz_s[None, :])
+        brick = tsdf_flat[cell_idx]  # [P, n_cells]
 
         t = table_slab[:, :3] * ss[None, :3]
         qv = table_slab[:, 3:] * ss[None, 3:]
@@ -345,12 +361,12 @@ class ROTracker:
         base = jnp.clip(v0 - r, 1, jnp.asarray(dims, jnp.int32) - 1 - side)
 
         dzx = jnp.arange(side)
-        off = (dzx[:, None, None] * (dims[1] * dims[2])
-               + dzx[None, :, None] * dims[2]
-               + dzx[None, None, :]).reshape(-1)
-        base_flat = (base[:, 0] * (dims[1] * dims[2])
-                     + base[:, 1] * dims[2] + base[:, 2])
-        bricks = tsdf_flat[base_flat[:, None] + off[None, :]]  # [P, 64]
+        ox_s = jnp.repeat(dzx, side * side)
+        oy_s = jnp.tile(jnp.repeat(dzx, side), side)
+        oz_s = jnp.tile(dzx, side * side)
+        bricks = tsdf_flat[self._vox_flat(
+            base[:, 0:1] + ox_s[None, :], base[:, 1:2] + oy_s[None, :],
+            base[:, 2:3] + oz_s[None, :])]  # [P, 64]
 
         n_pix = g.shape[0]
         pad_p = (-n_pix) % 8

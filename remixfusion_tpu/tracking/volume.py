@@ -55,9 +55,28 @@ class MovingVolume:
         self.dims = tuple(
             int(math.ceil((self.vol_bnds[i, 1] - self.vol_bnds[i, 0])
                           / self.voxel_size)) for i in range(3))
+        # Brick-granular batched fusion (the fast path): pad each dim up to
+        # a multiple of the brick edge so bricks tile the volume exactly.
+        self.brick = (int(v.get("brick_size", 10))
+                      if v.get("brick_fusion", True) else 0)
+        if self.brick:
+            self.dims = tuple(int(math.ceil(d / self.brick)) * self.brick
+                              for d in self.dims)
         self.vol_bnds[:, 1] = self.vol_bnds[:, 0] + \
             np.asarray(self.dims) * self.voxel_size
-        self.state = tsdf_ops.make_volume(self.dims, self.vol_bnds[:, 0])
+        if self.brick:
+            # brick-major storage: each brick is one contiguous [b^3] row so
+            # per-frame fusion moves whole bricks with one gather + one
+            # unique-index scatter (see ops.tsdf.make_brick_fuser_bm)
+            nb = int(np.prod([d // self.brick for d in self.dims]))
+            b3 = self.brick ** 3
+            self.state = tsdf_ops.VolumeState(
+                tsdf=jnp.ones((nb, b3), jnp.float32),
+                weight=jnp.zeros((nb, b3), jnp.float32),
+                color=jnp.zeros((nb, b3, 3), jnp.float32),
+                origin=jnp.asarray(self.vol_bnds[:, 0], jnp.float32))
+        else:
+            self.state = tsdf_ops.make_volume(self.dims, self.vol_bnds[:, 0])
 
         self.start_id = 0
         self.frame_to_vrange: Dict[Tuple[int, int], np.ndarray] = {}
@@ -78,6 +97,24 @@ class MovingVolume:
             frac = float(v.get("tile_budget_frac", 0.45))
             self.tile_budget = max(1, int(np.ceil(n_tiles * frac)))
         self._tiled_fns: Dict = {}
+        if self.brick:
+            nb = int(np.prod([d // self.brick for d in self.dims]))
+            frac = float(v.get("brick_budget_frac", 0.25))
+            self.brick_budget = min(
+                ((nb + 255) // 256) * 256,
+                max(256, int(math.ceil(nb * frac / 256.0)) * 256))
+            self.fs_every = int(v.get("freespace_every", 4))
+            # compile one fuser per power-of-two budget bucket; per frame we
+            # pick the smallest bucket that fits the actual selection, so
+            # padding waste stays < 2x
+            self.brick_buckets = []
+            bb = 256
+            while bb < self.brick_budget:
+                self.brick_buckets.append(bb)
+                bb *= 2
+            self.brick_buckets.append(self.brick_budget)
+        self._brick_fns: Dict = {}
+        self._fs_phase = 0
 
     # ------------------------------------------------------------- bounds
 
@@ -206,10 +243,48 @@ class MovingVolume:
     def _shift_to(self, new_bnds: np.ndarray):
         new_bnds = np.asarray(new_bnds, np.float64)
         new_bnds[:, 1] = new_bnds[:, 0] + np.asarray(self.dims) * self.voxel_size
-        self.state = tsdf_ops.shift_volume(
-            self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),
-            self.voxel_size)
+        if self.brick:
+            dense = self.dense_state()
+            dense = tsdf_ops.shift_volume(
+                dense, jnp.asarray(new_bnds[:, 0], jnp.float32),
+                self.voxel_size)
+            self.set_dense_state(dense)
+        else:
+            self.state = tsdf_ops.shift_volume(
+                self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),
+                self.voxel_size)
         self.vol_bnds = new_bnds
+
+    def dense_state(self) -> tsdf_ops.VolumeState:
+        """The volume as dense [X, Y, Z] arrays (identity when not
+        brick-major). Cold-path readers (mesh export, re-center, tests) use
+        this; the hot loop works on the native layout."""
+        if not self.brick:
+            return self.state
+        return tsdf_ops.VolumeState(
+            tsdf=tsdf_ops.bm_to_dense(self.state.tsdf, self.dims, self.brick),
+            weight=tsdf_ops.bm_to_dense(self.state.weight, self.dims,
+                                        self.brick),
+            color=tsdf_ops.bm_to_dense(self.state.color, self.dims,
+                                       self.brick),
+            origin=self.state.origin)
+
+    def set_dense_state(self, vs: tsdf_ops.VolumeState):
+        if not self.brick:
+            self.state = vs
+            return
+        self.state = tsdf_ops.VolumeState(
+            tsdf=tsdf_ops.dense_to_bm(vs.tsdf, self.brick),
+            weight=tsdf_ops.dense_to_bm(vs.weight, self.brick),
+            color=tsdf_ops.dense_to_bm(vs.color, self.brick),
+            origin=vs.origin)
+
+    def brick_layout(self):
+        """(b, BY, BZ) index spec for brick-major readers, or None."""
+        if not self.brick:
+            return None
+        return (self.brick, self.dims[1] // self.brick,
+                self.dims[2] // self.brick)
 
     def frameid_to_vrange(self, frame_id: int) -> np.ndarray:
         """Bounds active when frame_id was tracked (Volume.py:1084-1105)."""
@@ -239,9 +314,21 @@ class MovingVolume:
 
         return run
 
+    def frame_bricks(self, c2w_np, depth_np, K):
+        """Host-side brick selection + bucket sizing for one frame.
+        Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
+        bricks, _, n_sel = tsdf_ops.select_fusion_bricks(
+            self.dims, self.brick, self.vol_bnds[:, 0], self.voxel_size,
+            np.asarray(K), c2w_np, depth_np,
+            self.trunc_margin, self.brick_budget,
+            fs_phase=self._fs_phase, fs_every=self.fs_every)
+        self._fs_phase += 1
+        bucket = next(b for b in self.brick_buckets if b >= n_sel)
+        return jnp.asarray(bricks[:bucket]), bucket
+
     def integrate(self, rgb: jnp.ndarray, depth: jnp.ndarray,
                   K: jnp.ndarray, c2w: jnp.ndarray, obs_weight: float = 1.0,
-                  rgb_is_unit: bool = False):
+                  rgb_is_unit: bool = False, full_sweep: bool = False):
         """Fuse one frame (rgb in 0..255 floats like the reference's packed
         colors, Volume.py:713-757; pass rgb_is_unit for [0,1] images — the
         x255 conversion then happens inside the single jitted program).
@@ -250,7 +337,39 @@ class MovingVolume:
         fits the budget; falls back to the full sweep otherwise."""
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
 
-        if self.tile:
+        if self.brick and full_sweep:
+            # one-time seeds: dense round-trip + full-frustum fuse
+            dense = self.dense_state()
+            dense = tsdf_ops.fuse_frame(
+                dense, jnp.asarray(depth),
+                jnp.floor(jnp.asarray(rgb) * 255.0) if rgb_is_unit
+                else jnp.asarray(rgb),
+                jnp.asarray(K), jnp.asarray(c2w), voxel_size=self.voxel_size,
+                trunc_margin=self.trunc_margin, obs_weight=obs_weight,
+                im_h=im_h, im_w=im_w, weight_clamp=self.weight_clamp)
+            self.set_dense_state(dense)
+            return
+
+        if self.brick:
+            bricks, bucket = self.frame_bricks(np.asarray(c2w),
+                                               np.asarray(depth), K)
+            key = ("brick", im_h, im_w, bool(rgb_is_unit), bucket)
+            if key not in self._brick_fns:
+                self._brick_fns[key] = tsdf_ops.make_brick_fuser_bm(
+                    self.dims, self.brick, bucket,
+                    voxel_size=self.voxel_size,
+                    trunc_margin=self.trunc_margin, im_h=im_h, im_w=im_w,
+                    weight_clamp=self.weight_clamp, scale_rgb=rgb_is_unit)
+            tsdf, weight, color = self._brick_fns[key](
+                self.state.tsdf, self.state.weight, self.state.color,
+                jnp.asarray(bricks), jnp.asarray(depth), jnp.asarray(rgb),
+                jnp.asarray(K), jnp.asarray(c2w), self.state.origin,
+                jnp.asarray(obs_weight, jnp.float32))
+            self.state = tsdf_ops.VolumeState(tsdf, weight, color,
+                                              self.state.origin)
+            return
+
+        if self.tile and not full_sweep:
             offs = tsdf_ops.frustum_tiles(
                 self.dims, self.tile, np.asarray(self.state.origin),
                 self.voxel_size, np.asarray(K), np.asarray(c2w), im_h, im_w)
@@ -299,8 +418,9 @@ class MovingVolume:
         the runtime path runs unmasked marching cubes at level 0)."""
         from remixfusion_tpu.ops.marching_cubes import marching_cubes, vertex_normals
 
-        t = np.asarray(self.state.tsdf)
-        c = np.asarray(self.state.color)
+        dense = self.dense_state()
+        t = np.asarray(dense.tsdf)
+        c = np.asarray(dense.color)
         verts, faces = marching_cubes(t, 0.0)
         vi = np.clip(np.round(verts).astype(int), 0,
                      np.asarray(self.dims) - 1)
@@ -311,4 +431,5 @@ class MovingVolume:
 
     def get_truncated_pc(self, trunc_tsdf: float = 0.5) -> np.ndarray:
         return tsdf_ops.extract_truncated_points(
-            self.state, self.voxel_size, self.trunc_margin, trunc_tsdf)
+            self.dense_state(), self.voxel_size, self.trunc_margin,
+            trunc_tsdf)

@@ -35,10 +35,12 @@ def test_moving_volume_recenters():
     mv = MovingVolume(cfg, pose)
     assert mv.dims == (80, 80, 80)  # 2 * len 2 / 0.05
     assert np.allclose(mv.vol_bnds[:, 0], 0.0)
-    # mark a voxel so we can watch it move
-    mv.state = mv.state._replace(
-        tsdf=mv.state.tsdf.at[40, 40, 40].set(-0.5),
-        weight=mv.state.weight.at[40, 40, 40].set(3.0))
+    # mark a voxel so we can watch it move (through the dense view so the
+    # test covers both volume layouts)
+    dense = mv.dense_state()
+    mv.set_dense_state(dense._replace(
+        tsdf=dense.tsdf.at[40, 40, 40].set(-0.5),
+        weight=dense.weight.at[40, 40, 40].set(3.0)))
 
     pose2 = pose.copy()
     pose2[0, 3] = 3.5  # moved 1.5 > t_threshold along x
@@ -48,7 +50,7 @@ def test_moving_volume_recenters():
     assert mv.vol_bnds[0, 0] in (1.0, 2.0)
     # old content shifted: voxel moved along -x by the shift amount
     shift_vox = int(round((mv.vol_bnds[0, 0] - 0.0) / mv.voxel_size))
-    w = np.asarray(mv.state.weight)
+    w = np.asarray(mv.dense_state().weight)
     assert w[40 - shift_vox, 40, 40] == 3.0
     assert mv.frameid_to_vrange(5)[0, 0] == 0.0
     assert mv.frameid_to_vrange(10)[0, 0] == mv.vol_bnds[0, 0]
@@ -73,7 +75,8 @@ def test_tracking_recovers_perturbed_pose():
                       volume={"voxel_size": 0.025})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=5)
-    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
 
     f = ds[5]
     gt = f["c2w"]
@@ -110,7 +113,8 @@ def test_tracking_identity_stays_put():
     cfg = tiny_config(RO={"particle_iter_lens": 6, "depth_level": [4, 2, 1]})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=4)
-    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
     f = ds[3]
     res = tracker.do_tracking(mv.state, f["c2w"], jnp.asarray(f["depth"]),
                               jax.random.PRNGKey(1))
@@ -128,11 +132,13 @@ def test_brick_mode_matches_gather_for_small_search():
                       volume={"voxel_size": 0.025})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=4)
-    tr_g = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tr_g = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
     cfg2 = tiny_config(RO={"particle_iter_lens": 6, "depth_level": [4, 2, 1],
                            "init_size": 0.015, "eval_mode": "brick"},
                        volume={"voxel_size": 0.025})
-    tr_b = ROTracker(cfg2, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tr_b = ROTracker(cfg2, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                     brick_layout=mv.brick_layout())
 
     f = ds[3]
     import jax.numpy as jnp
@@ -166,7 +172,8 @@ def test_brick_mode_tracks():
                       volume={"voxel_size": 0.025})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=5)
-    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
     f = ds[5]
     gt = f["c2w"]
     noisy = gt.copy()
@@ -188,7 +195,8 @@ def test_pallas_brick_eval_matches_xla_brick():
                       volume={"voxel_size": 0.025})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=4)
-    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
 
     f = ds[3]
     depth = jnp.asarray(f["depth"])
@@ -224,7 +232,8 @@ def test_pallas_mode_tracks():
                       volume={"voxel_size": 0.025})
     ds = get_dataset(cfg)
     mv = build_tracked_volume(cfg, ds, n_frames=5)
-    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=mv.brick_layout())
     f = ds[5]
     gt = f["c2w"]
     noisy = gt.copy()

@@ -229,3 +229,64 @@ def test_frustum_tiles_conservative():
     assert 0 < len(offs) < n_total
     # every kept tile reaches beyond the camera plane (z world >= cam z)
     assert (((offs[:, 2] + 16) * 0.02) >= 0.64 - 1e-6).all()
+
+
+def test_brick_fuser_matches_full_fuse():
+    """Batched brick fusion == fuse_frame when every brick is selected, and
+    the host near-band selection alone covers all updated voxels."""
+    import numpy as np
+    from remixfusion_tpu.ops import tsdf as T
+
+    rng = np.random.default_rng(0)
+    dims = (20, 30, 20)
+    b = 10
+    H, W = 24, 32
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0.1, -0.05, -0.4]
+    depth = rng.uniform(0.3, 2.0, (H, W)).astype(np.float32)
+    depth[rng.random((H, W)) < 0.1] = 0.0
+    rgb = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    vox = 0.05
+    origin = np.array([-0.5, -0.75, -0.5], np.float32)
+
+    vol = T.VolumeState(
+        tsdf=jnp.asarray(rng.uniform(-1, 1, dims).astype(np.float32)),
+        weight=jnp.asarray(rng.uniform(0, 5, dims).astype(np.float32)),
+        color=jnp.asarray(rng.uniform(0, 255, dims + (3,)).astype(np.float32)),
+        origin=jnp.asarray(origin))
+    ref = T.fuse_frame(
+        vol, jnp.asarray(depth), jnp.floor(jnp.asarray(rgb) * 255.0),
+        jnp.asarray(K), jnp.asarray(c2w), voxel_size=vox, trunc_margin=0.15,
+        obs_weight=1.0, im_h=H, im_w=W, weight_clamp=True)
+
+    BX, BY, BZ = dims[0] // b, dims[1] // b, dims[2] // b
+    bricks = np.stack(
+        np.meshgrid(np.arange(BX), np.arange(BY), np.arange(BZ),
+                    indexing="ij"), -1).reshape(-1, 3).astype(np.int32)
+    budget = len(bricks) + 3
+    bricks = np.concatenate([bricks, np.full((3, 3), -1, np.int32)])
+    fuser = T.make_brick_fuser(
+        dims, b, budget, voxel_size=vox, trunc_margin=0.15, im_h=H, im_w=W,
+        weight_clamp=True, scale_rgb=True)
+    t2, w2, c2 = fuser(
+        vol.tsdf.copy(), vol.weight.copy(), vol.color.copy(),
+        jnp.asarray(bricks), jnp.asarray(depth), jnp.asarray(rgb),
+        jnp.asarray(K), jnp.asarray(c2w), jnp.asarray(origin),
+        jnp.asarray(1.0, jnp.float32))
+    assert float(jnp.abs(t2 - ref.tsdf).max()) < 1e-6
+    assert float(jnp.abs(w2 - ref.weight).max()) == 0.0
+    assert float(jnp.abs(c2 - ref.color).max()) == 0.0
+
+    # host selection (near band + all free space) must reproduce the full fuse
+    sel, n_near, n_sel = T.select_fusion_bricks(
+        dims, b, origin, vox, K, c2w, depth, 0.15, budget,
+        fs_phase=0, fs_every=1, splat_stride=2)
+    assert n_near > 0
+    t3, w3, c3 = fuser(
+        vol.tsdf.copy(), vol.weight.copy(), vol.color.copy(),
+        jnp.asarray(sel), jnp.asarray(depth), jnp.asarray(rgb),
+        jnp.asarray(K), jnp.asarray(c2w), jnp.asarray(origin),
+        jnp.asarray(1.0, jnp.float32))
+    assert float(jnp.abs(t3 - ref.tsdf).max()) < 1e-6
+    assert float(jnp.abs(w3 - ref.weight).max()) == 0.0
