@@ -105,6 +105,18 @@ class RemixFusionTPU:
         self._rng = jax.random.PRNGKey(config.get("seed", 42))
         self._np_rng = np.random.default_rng(config.get("seed", 42))
 
+        # Deferred BA write-back: (device poses_all, cur_kf_id, cur_frame_id)
+        # applied one round late — matching the reference's cross-process
+        # staleness (mp_slam/mapper.py:510-520 writes back while the tracker
+        # has already moved on) while keeping the mapping round fully async.
+        self._pending_ba = None
+        # Small host-side frame cache: the mapper revisits frames the tracker
+        # just consumed; re-decoding (or re-raytracing the synthetic scene)
+        # on the 1-core host would dwarf the device round cost.
+        from collections import OrderedDict
+        self._frame_cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._frame_cache_cap = 2 * config["mapping"]["map_every"] + 8
+
         self.out_dir = os.path.join(config["data"]["output"],
                                     config["data"]["exp_name"])
         os.makedirs(self.out_dir, exist_ok=True)
@@ -145,6 +157,22 @@ class RemixFusionTPU:
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
         return k
+
+    def _get_frame(self, idx: int):
+        cache = self._frame_cache
+        if idx in cache:
+            cache.move_to_end(idx)
+            return cache[idx]
+        batch = self.dataset[idx]
+        self._cache_frame(idx, batch)
+        return batch
+
+    def _cache_frame(self, idx: int, batch):
+        cache = self._frame_cache
+        cache[idx] = batch
+        cache.move_to_end(idx)
+        while len(cache) > self._frame_cache_cap:
+            cache.popitem(last=False)
 
     # ------------------------------------------------------- first frame
 
@@ -291,23 +319,27 @@ class RemixFusionTPU:
                 return res, t2, w2, c2
         else:
             from remixfusion_tpu.ops import tsdf as tsdf_ops
+            n_slabs = tsdf_ops.pick_slab_count(
+                mv.dims[0], mv.dims[1] * mv.dims[2])
+            fuse = tsdf_ops.make_slab_fuser(
+                mv.dims, n_slabs, voxel_size=mv.voxel_size,
+                trunc_margin=mv.trunc_margin, im_h=im_h, im_w=im_w,
+                weight_clamp=mv.weight_clamp, scale_rgb=True)
 
             @partial(jax.jit, donate_argnums=(0, 1, 2))
             def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
                      init_pose, key, ss):
                 res = tracker._track(tsdf.reshape(-1), origin, init_pose,
                                      depth, key, ss)
-                state = tsdf_ops.VolumeState(tsdf, weight, color, origin)
-                out = tsdf_ops.fuse_frame(
-                    state, depth, jnp.floor(rgb * 255.0), K, res.c2w,
-                    voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
-                    obs_weight=1.0, im_h=im_h, im_w=im_w,
-                    weight_clamp=mv.weight_clamp)
-                return res, out.tsdf, out.weight, out.color
+                t2, w2, c2 = fuse.impl(tsdf, weight, color, origin, depth,
+                                       rgb, K, res.c2w,
+                                       jnp.asarray(1.0, jnp.float32))
+                return res, t2, w2, c2
         return step
 
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
+        self._cache_frame(frame_id, batch)
         init = self.predict_current_pose(frame_id)
 
         # Re-center policy evaluated on the PREDICTED pose (mm accuracy vs a
@@ -390,19 +422,19 @@ class RemixFusionTPU:
         rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
         depth = np.asarray(batch["depth"]).reshape(-1)
 
-        rays_b, ids_b = [], []
-        for _ in range(n_iters):
-            g_rays, g_fids = self.kfdb.sample_global_rays(sample)
-            idx = self._np_rng.integers(0, len(depth), n_cur)
-            c_rays = np.concatenate(
-                [dirs[idx], rgb[idx], depth[idx, None]], -1).astype(np.float32)
-            rays = np.concatenate([g_rays, c_rays], 0)
-            ids = np.concatenate([
-                (g_fids // kf_every).astype(np.int32),
-                np.full(n_cur, cur_kf_id, np.int32)])
-            rays_b.append(rays)
-            ids_b.append(ids)
-        return np.stack(rays_b), np.stack(ids_b), cur_kf_id
+        # One vectorized draw for all iterations (the per-iteration Python
+        # loop cost ~100 ms/round on the 1-core host).
+        g_rays, g_fids = self.kfdb.sample_global_rays(sample * n_iters)
+        g_rays = g_rays.reshape(n_iters, sample, 7)
+        g_ids = (g_fids // kf_every).astype(np.int32).reshape(n_iters, sample)
+        idx = self._np_rng.integers(0, len(depth), (n_iters, n_cur))
+        c_rays = np.concatenate(
+            [dirs[idx], rgb[idx], depth[idx][..., None]],
+            -1).astype(np.float32)
+        rays_b = np.concatenate([g_rays, c_rays], 1)
+        ids_b = np.concatenate(
+            [g_ids, np.full((n_iters, n_cur), cur_kf_id, np.int32)], 1)
+        return rays_b, ids_b, cur_kf_id
 
     def global_mapping(self, batch, cur_frame_id):
         """(reference mapper.py:366-423). Poses ride to the device once; the
@@ -423,29 +455,42 @@ class RemixFusionTPU:
         return losses
 
     def global_pose(self, batch, cur_frame_id):
-        """(reference mapper.py:425-520)"""
+        """(reference mapper.py:425-520). The refined poses stay on device;
+        the write-back happens at the start of the NEXT round
+        (_apply_pending_ba) so this round never blocks the tracker — the
+        reference's cross-process write-back is equally stale
+        (mapper.py:510-520 lands while the tracker has moved on)."""
         m = self.config["mapping"]
-        kf_every = m["keyframe_every"]
-        rays_b, ids_b, cur_kf_id = self._assemble_batches(
-            batch, cur_frame_id, m["BA_iters"], for_ba=True)
         if not m["opt_pose"]:
             return None
+        rays_b, ids_b, cur_kf_id = self._assemble_batches(
+            batch, cur_frame_id, m["BA_iters"], for_ba=True)
         self.params, losses, poses_all = self.mapper.ba_step(
             self.params, self.buffers, rays_b, ids_b, self._next_key())
-        poses_all = np.asarray(poses_all)
+        self._pending_ba = (poses_all, cur_kf_id, cur_frame_id)
+        return losses
 
-        # write refined keyframe poses back (reference mapper.py:510-520)
+    def _apply_pending_ba(self):
+        """Write BA-refined keyframe poses back into est_c2w_data
+        (reference mapper.py:510-520), one round late."""
+        if self._pending_ba is None:
+            return
+        poses_all, cur_kf_id, cur_frame_id = self._pending_ba
+        self._pending_ba = None
+        poses_all = np.asarray(poses_all)
+        m = self.config["mapping"]
+        kf_every = m["keyframe_every"]
         if cur_kf_id >= 1:
             kfupid = np.arange(cur_kf_id) * kf_every
             self.est_c2w_data[kfupid] = poses_all[:cur_kf_id]
             if m["optim_cur"]:
                 self.est_c2w_data[cur_frame_id] = poses_all[cur_kf_id]
-        return losses
 
     def mapping_round(self, cur_frame_id):
         """One mapping round at current_map_id (reference mapper.py:874-928)."""
         t0 = time.time()
-        batch = self.dataset[cur_frame_id]
+        self._apply_pending_ba()
+        batch = self._get_frame(cur_frame_id)
         kf_every = self.config["mapping"]["keyframe_every"]
 
         if self.mapping_idx % kf_every == 0:
@@ -477,6 +522,11 @@ class RemixFusionTPU:
             if not self.config["mesh"]["only_final"]:
                 self.save_mesh(self.mapping_idx,
                                voxel_size=self.config["mesh"]["voxel_eval"])
+            if self.config["mesh"].get("render_img"):
+                # periodic render-vs-GT comparison (reference mapper.py:923-924)
+                self.render_img(self.mapping_idx, batch["depth"],
+                                batch["rgb"], self.est_c2w_data[cur_frame_id],
+                                batch["direction"])
             poses = self.convert_relative_pose(self.mapping_idx)
             try:
                 pose_evaluation(self.pose_gt, poses, 1, self.out_dir,
@@ -500,7 +550,7 @@ class RemixFusionTPU:
         map_every = self.config["mapping"]["map_every"]
         kf_every = self.config["mapping"]["keyframe_every"]
         for idx in range(1, n):
-            batch = self.dataset[idx]
+            batch = self._get_frame(idx)
             self.track_frame(idx, batch)
             while self.tracking_idx > self.mapping_idx + map_every:
                 cur_map_id = self.mapping_idx + kf_every
@@ -518,6 +568,7 @@ class RemixFusionTPU:
     def finalize(self):
         """Trajectory dump, final ATE, checkpoint, final mesh
         (reference mapper.py:930-950)."""
+        self._apply_pending_ba()
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
         try:

@@ -296,32 +296,28 @@ class MovingVolume:
     # ---------------------------------------------------------- integration
 
     def _build_integrate(self, im_h: int, im_w: int, scale_rgb: bool):
-        voxel_size = self.voxel_size
-        trunc = self.trunc_margin
-        clamp = self.weight_clamp
-
-        @jax.jit
-        def run(tsdf, weight, color, origin, depth, rgb, K, c2w, obs_weight):
-            if scale_rgb:
-                rgb = jnp.floor(rgb * 255.0)
-            state = tsdf_ops.VolumeState(tsdf, weight, color, origin)
-            out = tsdf_ops.fuse_frame(
-                state, depth, rgb, K, c2w,
-                voxel_size=voxel_size, trunc_margin=trunc,
-                obs_weight=obs_weight, im_h=im_h, im_w=im_w,
-                weight_clamp=clamp)
-            return out.tsdf, out.weight, out.color
-
-        return run
+        # Slab-scan full sweep: bounded HBM temps at any volume size (a
+        # one-shot dense sweep of a 300^3 volume fails to compile on a v5e).
+        n_slabs = tsdf_ops.pick_slab_count(
+            self.dims[0], self.dims[1] * self.dims[2])
+        return tsdf_ops.make_slab_fuser(
+            self.dims, n_slabs, voxel_size=self.voxel_size,
+            trunc_margin=self.trunc_margin, im_h=im_h, im_w=im_w,
+            weight_clamp=self.weight_clamp, scale_rgb=scale_rgb)
 
     def frame_bricks(self, c2w_np, depth_np, K):
         """Host-side brick selection + bucket sizing for one frame.
         Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
-        bricks, _, n_sel = tsdf_ops.select_fusion_bricks(
-            self.dims, self.brick, self.vol_bnds[:, 0], self.voxel_size,
-            np.asarray(K), c2w_np, depth_np,
-            self.trunc_margin, self.brick_budget,
-            fs_phase=self._fs_phase, fs_every=self.fs_every)
+        hw = depth_np.shape
+        if not hasattr(self, "_brick_sel") or self._brick_sel_hw != hw:
+            self._brick_sel = tsdf_ops.BrickSelector(
+                self.dims, self.brick, self.voxel_size, np.asarray(K),
+                hw[0], hw[1])
+            self._brick_sel_hw = hw
+        bricks, _, n_sel = self._brick_sel.select(
+            self.vol_bnds[:, 0], c2w_np, depth_np, self.trunc_margin,
+            self.brick_budget, fs_phase=self._fs_phase,
+            fs_every=self.fs_every)
         self._fs_phase += 1
         bucket = next(b for b in self.brick_buckets if b >= n_sel)
         return jnp.asarray(bricks[:bucket]), bucket
@@ -338,16 +334,20 @@ class MovingVolume:
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
 
         if self.brick and full_sweep:
-            # one-time seeds: dense round-trip + full-frustum fuse
+            # one-time seeds: dense round-trip + slab-scan full sweep
             dense = self.dense_state()
-            dense = tsdf_ops.fuse_frame(
-                dense, jnp.asarray(depth),
-                jnp.floor(jnp.asarray(rgb) * 255.0) if rgb_is_unit
-                else jnp.asarray(rgb),
-                jnp.asarray(K), jnp.asarray(c2w), voxel_size=self.voxel_size,
-                trunc_margin=self.trunc_margin, obs_weight=obs_weight,
-                im_h=im_h, im_w=im_w, weight_clamp=self.weight_clamp)
-            self.set_dense_state(dense)
+            key = ("seed", im_h, im_w, bool(rgb_is_unit))
+            if not hasattr(self, "_integrate_fns"):
+                self._integrate_fns = {}
+            if key not in self._integrate_fns:
+                self._integrate_fns[key] = self._build_integrate(
+                    im_h, im_w, rgb_is_unit)
+            tsdf, weight, color = self._integrate_fns[key](
+                dense.tsdf, dense.weight, dense.color, dense.origin,
+                jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
+                jnp.asarray(c2w), jnp.asarray(obs_weight, jnp.float32))
+            self.set_dense_state(tsdf_ops.VolumeState(
+                tsdf, weight, color, dense.origin))
             return
 
         if self.brick:
