@@ -164,4 +164,8 @@ def brick_eval(params: jnp.ndarray, pix: jnp.ndarray, bricks: jnp.ndarray,
     )(params.reshape(1, -1), pix, bricks, table)
     sv = out[0]
     sc = out[1]
-    return sv / (sc + 1e-6)
+    # Low-count guard (see tracking.rotracker._guarded_cost): a candidate
+    # that throws most lookups out of its per-pixel brick must not win by
+    # emptying its own mean.
+    cost = sv / (sc + 1e-6)
+    return jnp.where(sc >= 0.5 * sc[0], cost, 1e6)

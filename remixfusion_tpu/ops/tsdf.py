@@ -691,10 +691,19 @@ class BrickSelector:
     Near-surface bricks: splat strided depth points, dilated by the
     truncation band, over their full lo..hi brick-cell span (corner
     enumeration can miss the point's own brick when the margin exceeds the
-    brick side). Free-space bricks: conservative bounding-sphere frustum
-    test on brick centers, rotated round-robin over fs_every frames.
-    Reference semantics: Volume.py:196-336 updates every in-frustum voxel
-    in front of the surface; the rotation amortizes that over frames.
+    brick side). Free-space bricks: the exact 8-corner frustum test of
+    select_fusion_bricks (cached corner geometry), rotated round-robin over
+    fs_every frames. Reference semantics: Volume.py:196-336 updates every
+    in-frustum voxel in front of the surface; the rotation amortizes that
+    over frames.
+
+    IMPORTANT: the free-space test must stay the corner test, not a
+    bounding-sphere approximation. A sphere test keeps image-BORDER
+    straddle bricks the corner+pad test rejects; those bricks receive
+    grazing-angle wall updates at slightly-wrong tracked poses, which
+    corrodes the wall TSDF and destabilizes the tracking<->fusion loop
+    (measured: 1 cm -> 49 cm ATE on the synthetic bench, reproducible
+    across seeds).
     """
 
     def __init__(self, dims, b, voxel_size, K, im_h, im_w,
@@ -719,6 +728,13 @@ class BrickSelector:
         self.centers_rel = (np.stack(
             [gx, gy, gz], -1).reshape(-1, 3) + 0.5) * self.bs
         self.radius = float(np.sqrt(3.0) / 2.0 * self.bs)
+        # 8 brick-corner offsets from the brick base (origin-independent);
+        # base_rel[NB, 3] = brick base corner relative to the volume origin
+        bs = self.bs
+        self.base_rel = (self.centers_rel - 0.5 * bs).astype(np.float64)
+        self.corner_offs = np.array(
+            [[dx_, dy_, dz_] for dx_ in (0.0, bs) for dy_ in (0.0, bs)
+             for dz_ in (0.0, bs)], np.float64)  # [8, 3]
         # strided pixel grid for the depth splat
         ys, xs = np.mgrid[0:self.H:self.stride, 0:self.W:self.stride]
         self.xs = xs.astype(np.float32).ravel()
@@ -765,26 +781,65 @@ class BrickSelector:
         return mask, dmax
 
     def frustum_mask(self, origin, c2w, dmax, trunc_margin):
-        """Boolean [NB] mask of bricks whose bounding sphere may intersect
-        the view frustum within dmax + trunc."""
+        """Boolean [NB] mask: the exact 8-corner frustum test of
+        select_fusion_bricks (see class docstring for why the corner test,
+        and its pad_px border rejection, is load-bearing).
+
+        Two stages: a conservative bounding-sphere prefilter on brick
+        centers (strict superset of the corner test: corner z <= z_c + r,
+        corner near_cam >= z_c - r, and the projected-radius pixel bound
+        dominates every corner's pixel for z_c > r), then the exact corner
+        test on the surviving few-thousand candidates only."""
         import numpy as np
-        c2w = np.asarray(c2w, np.float32)
-        R, t = c2w[:3, :3], c2w[:3, 3]
-        c = self.centers_rel + np.asarray(origin, np.float32)
-        cam = (c - t) @ R  # == R.T @ (c - t) per row
-        x, y, z = cam[:, 0], cam[:, 1], cam[:, 2]
+        c2w64 = np.asarray(c2w, np.float64)
+        R, t = c2w64[:3, :3], c2w64[:3, 3]
+        K = self.K
+        depth_bound = dmax + trunc_margin + self.bs
         r = self.radius
-        near = z > r  # fully in front: apply the pixel test
-        close = np.abs(z) <= r  # straddles the camera plane: keep
-        zs = np.maximum(z - r, 1e-6)
-        ur = r * self.K[0, 0] / zs  # conservative projected radius
-        vr = r * self.K[1, 1] / zs
-        u = self.K[0, 0] * x / np.maximum(z, 1e-6) + self.K[0, 2]
-        v = self.K[1, 1] * y / np.maximum(z, 1e-6) + self.K[1, 2]
-        pix_ok = ((u + ur >= -self.pad_px) & (u - ur < self.W + self.pad_px)
-                  & (v + vr >= -self.pad_px) & (v - vr < self.H + self.pad_px))
-        depth_ok = z - r <= dmax + trunc_margin
-        return ((near & pix_ok) | close) & depth_ok
+
+        # --- stage 1: sphere prefilter (float32, centers only)
+        c = (self.centers_rel + np.asarray(origin, np.float32))
+        camc = (c - t.astype(np.float32)) @ R.astype(np.float32)
+        zc = camc[:, 2]
+        maybe_front = zc > -r
+        depth_may = zc - r <= depth_bound
+        zs = np.maximum(zc - r, 1e-6)
+        uc = K[0, 0] * camc[:, 0] / np.maximum(zc, 1e-6) + K[0, 2]
+        vc = K[1, 1] * camc[:, 1] / np.maximum(zc, 1e-6) + K[1, 2]
+        # |du| <= f*r/(z-r) * sqrt(1 + (x/z)^2): the off-axis term is part
+        # of the exact sphere-projection bound, not an optional refinement
+        ur = r * K[0, 0] / zs * np.sqrt(
+            1.0 + ((uc - K[0, 2]) / K[0, 0]) ** 2)
+        vr = r * K[1, 1] / zs * np.sqrt(
+            1.0 + ((vc - K[1, 2]) / K[1, 1]) ** 2)
+        pad = self.pad_px
+        pix_may = ((uc + ur >= -pad) & (uc - ur < self.W + pad)
+                   & (vc + vr >= -pad) & (vc - vr < self.H + pad))
+        cand = maybe_front & depth_may & ((zc <= r) | pix_may)
+        idx = np.flatnonzero(cand)
+        if idx.size == 0:
+            return np.zeros(self.NB, bool)
+
+        # --- stage 2: exact 8-corner test on candidates
+        pts8 = (self.base_rel[idx] + np.asarray(origin, np.float64))[:, None, :] \
+            + self.corner_offs[None]
+        cam = (pts8 - t) @ R  # w2c: R^T (x - t) per point
+        z = cam[:, :, 2]
+        front = z > 0
+        any_front = front.any(1)
+        eps = 1e-6
+        u = K[0, 0] * cam[:, :, 0] / np.maximum(z, eps) + K[0, 2]
+        v = K[1, 1] * cam[:, :, 1] / np.maximum(z, eps) + K[1, 2]
+        out_l = np.where(front, u, -np.inf).max(1) < -pad
+        out_r = np.where(front, u, np.inf).min(1) >= self.W + pad
+        out_t = np.where(front, v, -np.inf).max(1) < -pad
+        out_b = np.where(front, v, np.inf).min(1) >= self.H + pad
+        near_cam = np.where(front, z, np.inf).min(1)
+        ok = (any_front & ~(out_l | out_r | out_t | out_b)
+              & (near_cam <= depth_bound))
+        mask = np.zeros(self.NB, bool)
+        mask[idx[ok]] = True
+        return mask
 
     def select(self, origin, c2w, depth, trunc_margin, budget,
                fs_phase=0, fs_every=4):

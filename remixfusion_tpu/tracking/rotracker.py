@@ -30,6 +30,24 @@ import numpy as np
 from remixfusion_tpu.tracking import pst as pst_mod
 
 
+def _guarded_cost(sv: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Mean candidate cost with a low-valid-count guard.
+
+    The reference divides sum/count with no guard (ROtracker.py:603): a
+    candidate with zero surviving pixels scores 0 — a *perfect* fit. In the
+    reference's exact evaluation that needs the whole view to leave the
+    volume, so it never fires; with the per-pixel brick window (and at the
+    volume boundary in gather mode) a ~half-brick translation can empty a
+    candidate's count, making runaway poses look optimal precisely when
+    tracking error approaches the brick radius (measured: deterministic
+    1 cm -> 49 cm ATE blowup on the synthetic bench). A candidate must keep
+    at least half of the unperturbed candidate's valid pixels (index 0 =
+    identity, same convention as the reference's origin_tsdf) to compete.
+    """
+    cost = sv / (cnt + 1e-6)
+    return jnp.where(cnt >= 0.5 * cnt[0], cost, 1e6)
+
+
 class TrackResult(NamedTuple):
     c2w: jnp.ndarray            # [4, 4] optimized pose
     search_size: jnp.ndarray    # [6] final search size (inheritance carry)
@@ -234,7 +252,7 @@ class ROTracker:
         add = jnp.abs(tsdf_v - gt[None, :])
         sv = jnp.sum(jnp.where(valid, add, 0.0), axis=1)
         cnt = jnp.sum(valid, axis=1)
-        return sv / (cnt + 1e-6)
+        return _guarded_cost(sv, cnt)
 
     def _eval_tier_brick(self, table_slab, level, level_index, R, T, ss,
                          vertex, normal, tsdf_flat, origin):
@@ -327,7 +345,7 @@ class ROTracker:
         add = jnp.abs(tsdf_v - gt[None, :])
         sv = jnp.sum(jnp.where(valid, add, 0.0), axis=1)
         cnt = jnp.sum(valid, axis=1)
-        return sv / (cnt + 1e-6)
+        return _guarded_cost(sv, cnt)
 
     def _eval_tier_pallas(self, table_t, level, level_index, R, T, ss,
                           vertex, normal, tsdf_flat, origin):

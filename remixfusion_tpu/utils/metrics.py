@@ -48,7 +48,8 @@ def ssim(img: np.ndarray, gt: np.ndarray, window_size=11):
 
 def lpips_or_nan(img: np.ndarray, gt: np.ndarray) -> float:
     """LPIPS (AlexNet) if pretrained weights are locally available; NaN
-    otherwise (zero-egress environments cannot download them)."""
+    otherwise (zero-egress environments cannot download them). Prefer
+    perceptual_distance(), which falls back to a self-contained proxy."""
     try:
         import torch
         from torchmetrics.image.lpip import (
@@ -62,3 +63,66 @@ def lpips_or_nan(img: np.ndarray, gt: np.ndarray) -> float:
         return float(metric(a, b))
     except Exception:
         return float("nan")
+
+
+_RF_FILTERS = None
+
+
+def _random_feature_bank(seed=0, n_ch=24):
+    """Fixed random 3x3x3 conv filters (unit-norm), shared across calls.
+
+    Random-weight conv features are a known serviceable stand-in for
+    learned perceptual features (random networks correlate with human
+    judgments well above pixel metrics); this keeps the metric fully
+    self-contained for zero-egress environments."""
+    global _RF_FILTERS
+    if _RF_FILTERS is None:
+        rng = np.random.default_rng(seed)
+        w = rng.normal(0, 1, (n_ch, 3, 3, 3)).astype(np.float64)
+        w -= w.mean(axis=(1, 2, 3), keepdims=True)
+        w /= np.linalg.norm(w.reshape(n_ch, -1), axis=1).reshape(-1, 1, 1, 1)
+        _RF_FILTERS = w
+    return _RF_FILTERS
+
+
+def _rf_features(img: np.ndarray) -> np.ndarray:
+    """[H, W, C=n_ch] random-conv features of an [H, W, 3] image."""
+    from scipy.signal import fftconvolve
+    w = _random_feature_bank()
+    feats = []
+    for k in range(w.shape[0]):
+        acc = np.zeros(img.shape[:2])
+        for c in range(3):
+            acc += fftconvolve(img[..., c], w[k, c], mode="same")
+        feats.append(acc)
+    f = np.stack(feats, axis=-1)
+    # per-pixel unit-normalize across channels (LPIPS convention)
+    return f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-10)
+
+
+def random_feature_perceptual(img: np.ndarray, gt: np.ndarray,
+                              n_scales: int = 3) -> float:
+    """Self-contained perceptual distance: mean squared distance between
+    channel-normalized random-conv features over a dyadic image pyramid.
+    A documented stand-in for LPIPS where pretrained weights cannot exist
+    (see PARITY.md); 0 = identical, larger = perceptually further."""
+    a, b = np.asarray(img, np.float64), np.asarray(gt, np.float64)
+    total = 0.0
+    for s in range(n_scales):
+        fa, fb = _rf_features(a), _rf_features(b)
+        total += float(((fa - fb) ** 2).sum(-1).mean())
+        if s < n_scales - 1:
+            a = 0.25 * (a[0::2, 0::2] + a[1::2, 0::2]
+                        + a[0::2, 1::2] + a[1::2, 1::2])
+            b = 0.25 * (b[0::2, 0::2] + b[1::2, 0::2]
+                        + b[0::2, 1::2] + b[1::2, 1::2])
+    return total / n_scales
+
+
+def perceptual_distance(img: np.ndarray, gt: np.ndarray):
+    """(value, kind): LPIPS-AlexNet when weights are available (kind
+    'lpips'), else the random-feature proxy (kind 'rf_perceptual')."""
+    v = lpips_or_nan(img, gt)
+    if np.isfinite(v):
+        return v, "lpips"
+    return random_feature_perceptual(img, gt), "rf_perceptual"

@@ -13,11 +13,13 @@ import numpy as np
 
 from remixfusion_tpu.config import load_config
 from remixfusion_tpu.slam import RemixFusionTPU
-from remixfusion_tpu.utils.metrics import lpips_or_nan, mse2psnr, ssim
+from remixfusion_tpu.utils.metrics import (mse2psnr, perceptual_distance,
+                                           ssim)
 
 
 def calc_2d_metric(slam, poses, gap=10, save=False):
     psnrs, ssims, lpips_vals, d_l1 = [], [], [], []
+    lpips_kind = "lpips"
     out_dir = os.path.join(slam.out_dir, "psnr")
     if save:
         os.makedirs(out_dir, exist_ok=True)
@@ -45,13 +47,17 @@ def calc_2d_metric(slam, poses, gap=10, save=False):
         d_l1.append(float(np.abs(gt_depth[valid] - depth[valid]).mean()))
         _, s = ssim(ours_m, gt_m)
         ssims.append(s)
-        lpips_vals.append(lpips_or_nan(ours_m, gt_m))
+        pv, lpips_kind = perceptual_distance(ours_m, gt_m)
+        lpips_vals.append(pv)
         print(f"{i} psnr:{psnrs[-1]:.2f} ssim:{ssims[-1]:.3f} "
               f"d-l1:{d_l1[-1]:.3f}")
+    # 'lpips' = real LPIPS-AlexNet; 'rf_perceptual' = the self-contained
+    # random-feature proxy (zero-egress fallback, see PARITY.md)
     print(f"PSNR: {np.mean(psnrs):.2f}\nSSIM: {np.mean(ssims):.3f}\n"
-          f"LPIPS: {np.nanmean(lpips_vals):.3f}\nD-L1: {np.mean(d_l1):.3f}")
+          f"{lpips_kind.upper()}: {np.nanmean(lpips_vals):.3f}\n"
+          f"D-L1: {np.mean(d_l1):.3f}")
     return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-            "lpips": float(np.nanmean(lpips_vals)),
+            lpips_kind: float(np.nanmean(lpips_vals)),
             "depth_l1": float(np.mean(d_l1))}
 
 

@@ -63,6 +63,8 @@ def test_rendering_eval_metrics(tmp_path):
     m = calc_2d_metric(slam, poses, gap=2)
     assert np.isfinite(m["psnr"]) and np.isfinite(m["depth_l1"])
     assert -1.0 <= m["ssim"] <= 1.0
+    # without LPIPS weights the self-contained proxy must report finite
+    assert np.isfinite(m.get("lpips", m.get("rf_perceptual")))
 
 
 def test_update_gbv_refusion(tmp_path):

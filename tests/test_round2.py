@@ -235,3 +235,24 @@ def test_deferred_ba_writeback(tmp_path):
     assert slam._pending_ba is None
     assert np.isfinite(slam.est_c2w_data[:5]).all()
     del before
+
+
+def test_random_feature_perceptual_orders_distortions():
+    """The zero-egress perceptual proxy must behave like a perceptual
+    metric: zero for identical images, monotone in distortion strength,
+    and larger for structured corruption than for tiny noise."""
+    from remixfusion_tpu.utils.metrics import (perceptual_distance,
+                                               random_feature_perceptual)
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 1, (64, 64, 3))
+    assert random_feature_perceptual(img, img) < 1e-12
+    small = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+    big = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    shuffled = img[::-1].copy()  # structurally destroyed
+    d_small = random_feature_perceptual(img, small)
+    d_big = random_feature_perceptual(img, big)
+    d_struct = random_feature_perceptual(img, shuffled)
+    assert 0 < d_small < d_big < d_struct
+    v, kind = perceptual_distance(img, small)
+    assert np.isfinite(v) and kind in ("lpips", "rf_perceptual")
