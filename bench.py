@@ -55,6 +55,10 @@ def main():
     for idx in range(1, n_frames):
         if idx == warmup:
             t_start = time.perf_counter()
+        # Seed the host cache so the in-loop device prefetch of idx+1 finds
+        # the pre-rendered frame instead of re-raytracing it.
+        if idx + 1 < n_frames:
+            slam._cache_frame(idx + 1, frames[idx + 1])
         slam.track_frame(idx, frames[idx])
         while slam.tracking_idx > slam.mapping_idx + map_every:
             cur_map_id = slam.mapping_idx + kf_every

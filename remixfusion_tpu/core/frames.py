@@ -1,0 +1,83 @@
+"""Compact device-side frame transport.
+
+The host->device link (especially tunneled TPU setups) charges a fixed
+per-transfer latency plus bandwidth on the payload, so a float32 RGB-D frame
+(5 MB at 640x480, two transfers) costs ~180 ms — more than the whole device
+compute budget for a frame. RGB-D sensors are natively uint16 depth (mm) +
+uint8 color (reference loaders divide those raw values into float on the
+host, datasets.py); we keep that compact wire format all the way to the
+device: one packed uint8 [H, W, 5] buffer per frame (u16-mm depth in bytes
+0-1 little-endian, u8 RGB in bytes 2-4), converted to float32 on device by a
+tiny jitted kernel. Combined with one-frame-ahead asynchronous prefetch
+(jax.device_put), the transfer rides under the previous frame's device
+compute.
+
+Quantization: depth to 1 mm — the native resolution of the sensors the
+reference targets (TUM/ScanNet/BS3D u16-mm PNGs) — and RGB to 8 bits, which
+is lossless for real captures (the files are 8-bit) and sub-0.4% for the
+analytic synthetic renderer.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEPTH_SCALE = 1000.0  # mm quantization
+MAX_DEPTH = 65.535    # u16 ceiling in meters
+
+
+def pack_frame(depth: np.ndarray, rgb: np.ndarray) -> np.ndarray:
+    """Host-side: f32 depth [H,W] (meters) + f32 rgb [H,W,3] in [0,1]
+    -> packed uint8 [H, W, 5]."""
+    d16 = (np.clip(depth, 0.0, MAX_DEPTH) * DEPTH_SCALE + 0.5).astype(
+        np.uint16)
+    rgb8 = (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    h, w = d16.shape
+    out = np.empty((h, w, 5), np.uint8)
+    out[..., 0] = d16 & 0xFF
+    out[..., 1] = d16 >> 8
+    out[..., 2:5] = rgb8
+    return out
+
+
+@jax.jit
+def unpack_frame(packed: jnp.ndarray):
+    """Device-side: packed uint8 [H, W, 5] -> (depth f32 [H,W] meters,
+    rgb f32 [H,W,3] in [0,1])."""
+    lo = packed[..., 0].astype(jnp.uint16)
+    hi = packed[..., 1].astype(jnp.uint16)
+    depth = (lo | (hi << jnp.uint16(8))).astype(jnp.float32) / DEPTH_SCALE
+    rgb = packed[..., 2:5].astype(jnp.float32) / 255.0
+    return depth, rgb
+
+
+class DeviceFramePrefetcher:
+    """One-frame-ahead async RGB-D staging onto the device.
+
+    prefetch(i, batch) packs on host (cheap integer ops) and dispatches the
+    device_put + unpack without blocking; get(i, batch) returns the device
+    (depth, rgb) pair, falling back to a synchronous path on a miss. A tiny
+    LRU keeps keyframes alive for the mapping round that revisits them.
+    """
+
+    def __init__(self, cap: int = 4):
+        self.cap = cap
+        self._cache: dict[int, tuple] = {}
+
+    def prefetch(self, idx: int, batch) -> None:
+        if idx in self._cache:
+            return
+        packed = pack_frame(np.asarray(batch["depth"]),
+                            np.asarray(batch["rgb"]))
+        dev = jax.device_put(packed)
+        self._cache[idx] = unpack_frame(dev)  # async dispatch
+        while len(self._cache) > self.cap:
+            self._cache.pop(next(iter(self._cache)))
+
+    def get(self, idx: int, batch):
+        hit = self._cache.get(idx)
+        if hit is not None:
+            return hit
+        self.prefetch(idx, batch)
+        return self._cache[idx]

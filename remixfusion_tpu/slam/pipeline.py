@@ -116,6 +116,12 @@ class RemixFusionTPU:
         from collections import OrderedDict
         self._frame_cache: "OrderedDict[int, dict]" = OrderedDict()
         self._frame_cache_cap = 2 * config["mapping"]["map_every"] + 8
+        # Device-side RGB-D staging: packed u16-depth/u8-rgb transfers with
+        # one-frame-ahead prefetch (see core/frames.py — the tunneled H2D
+        # link costs more than the whole per-frame device budget otherwise).
+        from remixfusion_tpu.core.frames import DeviceFramePrefetcher
+        self._dev_frames = DeviceFramePrefetcher(
+            cap=config["mapping"]["map_every"] + 3)
 
         self.out_dir = os.path.join(config["data"]["output"],
                                     config["data"]["exp_name"])
@@ -360,13 +366,22 @@ class RemixFusionTPU:
         if key not in self._tf_fns:
             self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, mode)
         st = self.mv.state
+        dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch)
         res, tsdf, weight, color = self._tf_fns[key](
             st.tsdf, st.weight, st.color, st.origin, offsets,
-            jnp.asarray(batch["depth"]), jnp.asarray(batch["rgb"]),
+            dep_dev, rgb_dev,
             self.K_dev, jnp.asarray(init), self._next_key(),
             self.tracker.init_search_size())
         from remixfusion_tpu.ops.tsdf import VolumeState
         self.mv.state = VolumeState(tsdf, weight, color, st.origin)
+        # Stage the NEXT frame's transfer while the device chews on this
+        # frame's program — the readback below is the synchronization point.
+        nxt = frame_id + 1
+        if nxt < self.dataset.num_frames:
+            try:
+                self._dev_frames.prefetch(nxt, self._get_frame(nxt))
+            except Exception:
+                pass  # prefetch is best-effort; the get() path covers misses
         c2w = np.asarray(res.c2w)
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w
@@ -499,9 +514,9 @@ class RemixFusionTPU:
             self.buffers = self.buffers._replace(
                 rba=self.scene.rba.update_init_pose(
                     self.buffers.rba, cur_kf_id, c2w))
+            dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
             self.buffers = self.mapper.integrate_keyframe(
-                self.buffers, jnp.asarray(batch["depth"]),
-                jnp.asarray(batch["rgb"]), self.K_dev, c2w, self.bound)
+                self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound)
 
         self.global_mapping(batch, cur_frame_id)
         self.global_pose(batch, cur_frame_id)
