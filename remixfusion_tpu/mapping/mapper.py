@@ -121,13 +121,64 @@ class Mapper:
         return run
 
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
-                           bound, obs_weight: float = 1.0) -> SceneBuffers:
+                           bound, obs_weight: float = 1.0,
+                           host_depth=None) -> SceneBuffers:
         """Fuse a keyframe into the explicit global grid
         (reference mapper.py:823-872). `bound`: [3, 2] world bounds; grid
         voxel i maps to bound_min + i/R * extent. One jitted program —
         unpack/fuse/repack fused (eager slicing of the 128 MB grid costs
-        more than the fusion itself on a tunneled device)."""
+        more than the fusion itself on a tunneled device).
+
+        With `host_depth` (the frame's depth as host numpy) the sweep runs
+        frustum-tiled: tiles are selected on the host with a conservative
+        corner test bounded by lam_max * (dmax + trunc), which provably
+        covers every voxel the dense sweep would update — 3-5x less
+        image-gather traffic, bit-identical result."""
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
+        R = self.scene.gbv_resolution
+        tile = tsdf_ops.pick_global_tile(R)
+        if host_depth is not None and tile is not None:
+            bound_np = np.asarray(bound, np.float64)
+            vs = (bound_np[:, 1] - bound_np[:, 0]) / R
+            K_np = np.asarray(K)
+            dmax = float(np.max(host_depth))
+            lam_max = float(np.sqrt(
+                1.0 + max(((0 - K_np[0, 2]) / K_np[0, 0]) ** 2,
+                          ((im_w - K_np[0, 2]) / K_np[0, 0]) ** 2)
+                + max(((0 - K_np[1, 2]) / K_np[1, 1]) ** 2,
+                      ((im_h - K_np[1, 2]) / K_np[1, 1]) ** 2)))
+            trunc = self.config["training"]["c_trunc"]
+            offs = tsdf_ops.frustum_tiles(
+                (R, R, R), tile, bound_np[:, 0], vs, K_np,
+                np.asarray(c2w), im_h, im_w,
+                max_depth=lam_max * (dmax + trunc), pad_px=2.0)
+            n_total = (R // tile) ** 3
+            budget = 64
+            while budget < offs.shape[0]:
+                budget *= 2
+            budget = min(budget, n_total)
+            if budget >= n_total:
+                offs = None  # no saving; use the dense path
+            else:
+                pad = np.full((budget - offs.shape[0], 3), -1, np.int32)
+                offs = np.concatenate([offs, pad], 0)
+        else:
+            offs = None
+
+        if offs is not None:
+            ikey = ("tiled", im_h, im_w, tile, budget)
+            if ikey not in self._integrate_fns:
+                self._integrate_fns[ikey] = \
+                    tsdf_ops.make_global_tiled_integrator(
+                        R, tile, budget, im_h=im_h, im_w=im_w,
+                        trunc_margin=self.config["training"]["c_trunc"])
+            gbv, gbw = self._integrate_fns[ikey](
+                buffers.gbv, buffers.gbw, jnp.asarray(offs),
+                jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
+                jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
+                jnp.asarray(obs_weight, jnp.float32))
+            return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba)
+
         key = (im_h, im_w)
         if key not in self._integrate_fns:
             self._integrate_fns[key] = self._build_integrate_kf(im_h, im_w)

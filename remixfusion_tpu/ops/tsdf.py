@@ -435,6 +435,110 @@ def make_tiled_fuser(dims, tile, n_tiles, *, voxel_size, trunc_margin,
     return fuse
 
 
+def pick_global_tile(R: int, lo: int = 16, hi: int = 40) -> int | None:
+    """Largest divisor of R in [lo, hi] (tile edge for the tiled global
+    integrator); None when R has no divisor in range (dense fallback)."""
+    for t in range(hi, lo - 1, -1):
+        if R % t == 0:
+            return t
+    return None
+
+
+def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
+                                 im_h: int, im_w: int, trunc_margin: float):
+    """Frustum-tiled global-grid keyframe (de-)integration.
+
+    Same per-voxel math as fuse_frame(global_mode=True) (reference
+    mapper.py:37-158: overflow skip, de-integration reset, color fused
+    everywhere in band), but scanning only the host-selected tiles whose
+    AABB intersects the frustum within the frame's depth range — the update
+    mask is provably False outside them (update requires in_image and
+    sdf >= -trunc, bounding camera z by lam_max * (dmax + trunc)), so the
+    result is bitwise identical to the dense sweep at a fraction of the
+    image-gather traffic. Voxel -> world uses the normalized global mapping
+    bound_min + idx/R * extent (anisotropic extents supported).
+
+    Returns integ(gbv [R,R,R,4], gbw [R,R,R], offsets [budget, 3] (voxel
+    offsets, -1 rows padded), depth, rgb, K, c2w, bound [3,2], obs_weight).
+    """
+    t = int(tile)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def integ(gbv, gbw, offsets, depth_im, color_im, K, c2w, bound,
+              obs_weight):
+        origin = bound[:, 0]
+        # (idx * (1/R)) * extent, in exactly fuse_frame's evaluation order,
+        # so the tiled and dense paths round identically.
+        scale = bound[:, 1] - bound[:, 0]
+        img_pack = jnp.concatenate(
+            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 0)
+        iy = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 1)
+        iz = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 2)
+
+        def body(carry, off):
+            gbv, gbw = carry
+            valid_tile = off[0] >= 0
+            o = jnp.maximum(off, 0)
+            vslice = jax.lax.dynamic_slice(
+                gbv, (o[0], o[1], o[2], 0), (t, t, t, 4))
+            ws = jax.lax.dynamic_slice(gbw, (o[0], o[1], o[2]), (t, t, t))
+            ts, cs = vslice[..., 0], vslice[..., 1:]
+
+            inv_r = jnp.float32(1.0 / R)
+            # literal mirror of fuse_frame's origin+idx then (p-origin)
+            # round-trip so boundary pixels round identically
+            px = origin[0] + ((origin[0] + (o[0].astype(jnp.float32) + ix))
+                              - origin[0]) * inv_r * scale[0]
+            py = origin[1] + ((origin[1] + (o[1].astype(jnp.float32) + iy))
+                              - origin[1]) * inv_r * scale[1]
+            pz = origin[2] + ((origin[2] + (o[2].astype(jnp.float32) + iz))
+                              - origin[2]) * inv_r * scale[2]
+            cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
+            in_front = cam_z > 0
+            in_image = ((pix_x >= 0) & (pix_x < im_w)
+                        & (pix_y >= 0) & (pix_y < im_h))
+            pxc = jnp.clip(pix_x, 0, im_w - 1)
+            pyc = jnp.clip(pix_y, 0, im_h - 1)
+            gathered = img_pack[(pyc * im_w + pxc).reshape(-1)]
+            depth_val = gathered[:, 0].reshape(t, t, t)
+            new_c = gathered[:, 1:].reshape(t, t, t, 3)
+
+            vec_x = (pxc.astype(jnp.float32) - K[0, 2]) / K[0, 0]
+            vec_y = (pyc.astype(jnp.float32) - K[1, 2]) / K[1, 1]
+            lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
+            cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y
+                                + cam_z * cam_z)
+            sdf = -((cam_norm / lam) - depth_val)
+            update = (valid_tile & in_front & in_image & (depth_val > 0)
+                      & (sdf >= -trunc_margin))
+
+            dist = jnp.minimum(1.0, sdf / trunc_margin)
+            w_new = ws + obs_weight
+            inv = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
+            new_tsdf = (ts * ws + obs_weight * dist) * inv
+            fused_c = jnp.minimum(
+                (cs * ws[..., None] + obs_weight * new_c) * inv[..., None],
+                1.0)
+            deint = (obs_weight < 0) & (ws <= 1) & update
+            do_upd = update & ~(new_tsdf > 1.0) & ~deint
+            ts = jnp.where(deint, 1.0, jnp.where(do_upd, new_tsdf, ts))
+            ws = jnp.where(deint, 0.0, jnp.where(do_upd, w_new, ws))
+            cs = jnp.where(deint[..., None], 0.0,
+                           jnp.where(do_upd[..., None], fused_c, cs))
+
+            vslice = jnp.concatenate([ts[..., None], cs], -1)
+            gbv = jax.lax.dynamic_update_slice(
+                gbv, vslice, (o[0], o[1], o[2], 0))
+            gbw = jax.lax.dynamic_update_slice(gbw, ws, (o[0], o[1], o[2]))
+            return (gbv, gbw), None
+
+        (gbv, gbw), _ = jax.lax.scan(body, (gbv, gbw), offsets)
+        return gbv, gbw
+
+    return integ
+
+
 def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
                   max_depth=None, pad_px: float = 0.0):
     """Host-side: voxel offsets [N, 3] of the tiles whose AABB intersects the
@@ -741,6 +845,24 @@ class BrickSelector:
         self.ys = ys.astype(np.float32).ravel()
         self.inv_fx = 1.0 / self.K[0, 0]
         self.inv_fy = 1.0 / self.K[1, 1]
+        # superbrick (8^3-brick block) prefilter geometry: a coarse sphere
+        # test over ~NB/512 blocks gates the per-brick frustum math
+        sb = 8
+        self.sb = sb
+        NSX = (self.BX + sb - 1) // sb
+        NSY = (self.BY + sb - 1) // sb
+        NSZ = (self.BZ + sb - 1) // sb
+        sx, sy, sz = np.meshgrid(np.arange(NSX, dtype=np.float32),
+                                 np.arange(NSY, dtype=np.float32),
+                                 np.arange(NSZ, dtype=np.float32),
+                                 indexing="ij")
+        self.sb_centers_rel = (np.stack([sx, sy, sz], -1).reshape(-1, 3)
+                               + 0.5) * (sb * self.bs)
+        self.sb_radius = float(np.sqrt(3.0) / 2.0 * sb * self.bs)
+        bx, by, bz = np.unravel_index(np.arange(self.NB),
+                                      (self.BX, self.BY, self.BZ))
+        self.brick_sbid = ((bx // sb * NSY + by // sb) * NSZ
+                           + bz // sb).astype(np.int32)
 
     def near_mask(self, origin, c2w, depth, trunc_margin):
         """Boolean [NB] mask of near-surface bricks + max depth."""
@@ -759,26 +881,31 @@ class BrickSelector:
         gap = self.stride * dmax * max(self.inv_fx, self.inv_fy)
         m = trunc_margin + gap + self.voxel_size
         rel = (pts - np.asarray(origin, np.float32)) / self.bs
-        lo = np.floor(rel - m / self.bs).astype(np.int64)
-        hi = np.floor(rel + m / self.bs).astype(np.int64)
-        span = int(np.ceil(2 * m / self.bs)) + 1
-        mask = np.zeros(self.NB, bool)
         BX, BY, BZ = self.BX, self.BY, self.BZ
-        for ox in range(span):
-            X_ = lo[:, 0] + ox
-            okx = X_ <= hi[:, 0]
-            for oy in range(span):
-                Y_ = lo[:, 1] + oy
-                oky = okx & (Y_ <= hi[:, 1])
-                for oz in range(span):
-                    Z_ = lo[:, 2] + oz
-                    sel = (oky & (Z_ <= hi[:, 2])
-                           & (X_ >= 0) & (X_ < BX)
-                           & (Y_ >= 0) & (Y_ < BY)
-                           & (Z_ >= 0) & (Z_ < BZ))
-                    if sel.any():
-                        mask[(X_[sel] * BY + Y_[sel]) * BZ + Z_[sel]] = True
-        return mask, dmax
+        # Splat the point bricks, then dilate by k = ceil(m/bs) bricks with
+        # three separable axis passes — a (grid-aligned, slightly larger)
+        # superset of the per-point [pt-m, pt+m] AABB box walk, at
+        # O(k * grid) boolean work instead of O((2k+1)^3 * points).
+        k = int(np.ceil(m / self.bs))
+        cell = np.floor(rel).astype(np.int64) + k  # into the padded grid
+        dims_p = (BX + 2 * k, BY + 2 * k, BZ + 2 * k)
+        inside = ((cell >= 0).all(1) & (cell[:, 0] < dims_p[0])
+                  & (cell[:, 1] < dims_p[1]) & (cell[:, 2] < dims_p[2]))
+        cell = cell[inside]
+        grid = np.zeros(dims_p, bool)
+        grid[cell[:, 0], cell[:, 1], cell[:, 2]] = True
+        for axis in range(3):
+            acc = grid.copy()
+            for s in range(1, k + 1):
+                sl_f = [slice(None)] * 3
+                sl_b = [slice(None)] * 3
+                sl_f[axis] = slice(s, None)
+                sl_b[axis] = slice(None, -s)
+                acc[tuple(sl_f)] |= grid[tuple(sl_b)]
+                acc[tuple(sl_b)] |= grid[tuple(sl_f)]
+            grid = acc
+        return np.ascontiguousarray(grid[k:k + BX, k:k + BY,
+                                         k:k + BZ]).reshape(-1), dmax
 
     def frustum_mask(self, origin, c2w, dmax, trunc_margin):
         """Boolean [NB] mask: the exact 8-corner frustum test of
@@ -797,30 +924,42 @@ class BrickSelector:
         depth_bound = dmax + trunc_margin + self.bs
         r = self.radius
 
-        # --- stage 1: sphere prefilter (float32, centers only)
-        c = (self.centers_rel + np.asarray(origin, np.float32))
-        camc = (c - t.astype(np.float32)) @ R.astype(np.float32)
-        zc = camc[:, 2]
-        maybe_front = zc > -r
-        depth_may = zc - r <= depth_bound
-        zs = np.maximum(zc - r, 1e-6)
-        uc = K[0, 0] * camc[:, 0] / np.maximum(zc, 1e-6) + K[0, 2]
-        vc = K[1, 1] * camc[:, 1] / np.maximum(zc, 1e-6) + K[1, 2]
-        # |du| <= f*r/(z-r) * sqrt(1 + (x/z)^2): the off-axis term is part
-        # of the exact sphere-projection bound, not an optional refinement
-        ur = r * K[0, 0] / zs * np.sqrt(
-            1.0 + ((uc - K[0, 2]) / K[0, 0]) ** 2)
-        vr = r * K[1, 1] / zs * np.sqrt(
-            1.0 + ((vc - K[1, 2]) / K[1, 1]) ** 2)
-        pad = self.pad_px
-        pix_may = ((uc + ur >= -pad) & (uc - ur < self.W + pad)
-                   & (vc + vr >= -pad) & (vc - vr < self.H + pad))
-        cand = maybe_front & depth_may & ((zc <= r) | pix_may)
-        idx = np.flatnonzero(cand)
+        def sphere_cull(centers_rel, radius):
+            """Conservative sphere-vs-frustum keep mask (float32)."""
+            c = centers_rel + np.asarray(origin, np.float32)
+            camc = (c - t.astype(np.float32)) @ R.astype(np.float32)
+            zc = camc[:, 2]
+            maybe_front = zc > -radius
+            depth_may = zc - radius <= depth_bound
+            zs = np.maximum(zc - radius, 1e-6)
+            uc = K[0, 0] * camc[:, 0] / np.maximum(zc, 1e-6) + K[0, 2]
+            vc = K[1, 1] * camc[:, 1] / np.maximum(zc, 1e-6) + K[1, 2]
+            # |du| <= f*r/(z-r) * sqrt(1 + (x/z)^2): the off-axis term is
+            # part of the exact sphere-projection bound, not optional
+            ur = radius * K[0, 0] / zs * np.sqrt(
+                1.0 + ((uc - K[0, 2]) / K[0, 0]) ** 2)
+            vr = radius * K[1, 1] / zs * np.sqrt(
+                1.0 + ((vc - K[1, 2]) / K[1, 1]) ** 2)
+            pad = self.pad_px
+            pix_may = ((uc + ur >= -pad) & (uc - ur < self.W + pad)
+                       & (vc + vr >= -pad) & (vc - vr < self.H + pad))
+            return maybe_front & depth_may & ((zc <= radius) | pix_may)
+
+        # --- stage 0: superbrick sphere prefilter (~NB/512 tests)
+        sb_keep = sphere_cull(self.sb_centers_rel, self.sb_radius)
+        cand0 = sb_keep[self.brick_sbid]
+        idx0 = np.flatnonzero(cand0)
+        if idx0.size == 0:
+            return np.zeros(self.NB, bool)
+
+        # --- stage 1: per-brick sphere prefilter on the survivors
+        keep1 = sphere_cull(self.centers_rel[idx0], r)
+        idx = idx0[keep1]
         if idx.size == 0:
             return np.zeros(self.NB, bool)
 
         # --- stage 2: exact 8-corner test on candidates
+        pad = self.pad_px
         pts8 = (self.base_rel[idx] + np.asarray(origin, np.float64))[:, None, :] \
             + self.corner_offs[None]
         cam = (pts8 - t) @ R  # w2c: R^T (x - t) per point

@@ -193,7 +193,7 @@ class RemixFusionTPU:
         self.buffers = self.mapper.integrate_keyframe(
             self.buffers, jnp.asarray(batch["depth"]),
             jnp.asarray(batch["rgb"]), self.K_dev, jnp.asarray(c2w),
-            self.bound)
+            self.bound, host_depth=batch["depth"])
         self.buffers = self.buffers._replace(
             rba=self.scene.rba.update_init_pose(
                 self.buffers.rba, 0, jnp.asarray(c2w)))
@@ -281,13 +281,24 @@ class RemixFusionTPU:
                                     self.dataset.K())
 
     def _build_track_and_fuse(self, im_h, im_w, mode: str):
-        """One device program per frame: randomized-optimization tracking
-        followed by local-volume fusion at the optimized pose. Collapses the
-        per-frame host<->device traffic to one dispatch + one small pose
-        readback (the tunnel charges ~29 ms per synchronized call)."""
+        """Per-frame tracking + fusion as TWO chained async dispatches (the
+        fuser consumes the tracked pose device-side, so there is still only
+        ONE synchronization — the pose readback). Keeping the track program
+        separate from the (brick-bucket-keyed) fuse program means a new
+        bucket only compiles the small fuser, not the whole pipeline."""
         tracker = self.tracker
         mv = self.mv
         from functools import partial
+
+        tkey = ("track", im_h, im_w)
+        if not hasattr(self, "_track_jits"):
+            self._track_jits = {}
+        if tkey not in self._track_jits:
+            self._track_jits[tkey] = jax.jit(
+                lambda tsdf, origin, init_pose, depth, key, ss:
+                tracker._track(tsdf.reshape(-1), origin, init_pose, depth,
+                               key, ss))
+        track = self._track_jits[tkey]
 
         if isinstance(mode, tuple) and mode[0] == "brick":
             from remixfusion_tpu.ops.tsdf import make_brick_fuser_bm
@@ -295,13 +306,11 @@ class RemixFusionTPU:
                 mv.dims, mv.brick, mode[1],
                 voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
                 im_h=im_h, im_w=im_w, weight_clamp=mv.weight_clamp,
-                scale_rgb=True)
+                scale_rgb=True)  # already jitted, donates the volume
 
-            @partial(jax.jit, donate_argnums=(0, 1, 2))
             def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
                      init_pose, key, ss):
-                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
-                                     depth, key, ss)
+                res = track(tsdf, origin, init_pose, depth, key, ss)
                 t2, w2, c2 = fuse(tsdf, weight, color, offsets, depth, rgb,
                                   K, res.c2w, origin,
                                   jnp.asarray(1.0, jnp.float32))
@@ -314,11 +323,9 @@ class RemixFusionTPU:
                 im_h=im_h, im_w=im_w, weight_clamp=mv.weight_clamp,
                 scale_rgb=True)
 
-            @partial(jax.jit, donate_argnums=(0, 1, 2))
             def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
                      init_pose, key, ss):
-                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
-                                     depth, key, ss)
+                res = track(tsdf, origin, init_pose, depth, key, ss)
                 t2, w2, c2 = fuse(tsdf, weight, color, origin, offsets,
                                   depth, rgb, K, res.c2w,
                                   jnp.asarray(1.0, jnp.float32))
@@ -332,14 +339,12 @@ class RemixFusionTPU:
                 trunc_margin=mv.trunc_margin, im_h=im_h, im_w=im_w,
                 weight_clamp=mv.weight_clamp, scale_rgb=True)
 
-            @partial(jax.jit, donate_argnums=(0, 1, 2))
             def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
                      init_pose, key, ss):
-                res = tracker._track(tsdf.reshape(-1), origin, init_pose,
-                                     depth, key, ss)
-                t2, w2, c2 = fuse.impl(tsdf, weight, color, origin, depth,
-                                       rgb, K, res.c2w,
-                                       jnp.asarray(1.0, jnp.float32))
+                res = track(tsdf, origin, init_pose, depth, key, ss)
+                t2, w2, c2 = fuse(tsdf, weight, color, origin, depth,
+                                  rgb, K, res.c2w,
+                                  jnp.asarray(1.0, jnp.float32))
                 return res, t2, w2, c2
         return step
 
@@ -482,6 +487,12 @@ class RemixFusionTPU:
             batch, cur_frame_id, m["BA_iters"], for_ba=True)
         self.params, losses, poses_all = self.mapper.ba_step(
             self.params, self.buffers, rays_b, ids_b, self._next_key())
+        try:
+            # Start the device->host copy now so next round's write-back
+            # (_apply_pending_ba) doesn't pay the readback round trip.
+            poses_all.copy_to_host_async()
+        except AttributeError:
+            pass
         self._pending_ba = (poses_all, cur_kf_id, cur_frame_id)
         return losses
 
@@ -516,7 +527,8 @@ class RemixFusionTPU:
                     self.buffers.rba, cur_kf_id, c2w))
             dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
             self.buffers = self.mapper.integrate_keyframe(
-                self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound)
+                self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound,
+                host_depth=batch["depth"])
 
         self.global_mapping(batch, cur_frame_id)
         self.global_pose(batch, cur_frame_id)
@@ -704,7 +716,8 @@ class RemixFusionTPU:
             self.buffers = self.mapper.integrate_keyframe(
                 self.buffers, jnp.asarray(batch["depth"]),
                 jnp.asarray(batch["rgb"]), self.K_dev,
-                jnp.asarray(self.est_c2w_data[i]), self.bound)
+                jnp.asarray(self.est_c2w_data[i]), self.bound,
+                host_depth=batch["depth"])
 
     def render_img(self, frame_id, gt_depth, gt_rgb, cam_pose, directions,
                    prefix=None, gap=4):

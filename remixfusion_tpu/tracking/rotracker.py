@@ -254,6 +254,35 @@ class ROTracker:
         cnt = jnp.sum(valid, axis=1)
         return _guarded_cost(sv, cnt)
 
+    @staticmethod
+    def _mxu_cam(g, t, qv, q0, R):
+        """Camera-frame coordinates of every (candidate, pixel) pair via one
+        MXU matmul: cam[c, p] = (R^T Rc) g_p + R^T t_c, where Rc is the
+        candidate quaternion's rotation matrix. Returns ([C, P],)*3.
+
+        The MXU does the C*P*9 rotate MACs that the quaternion broadcast
+        would put on the VPU; HIGHEST precision keeps f32 accuracy (default
+        TPU matmul truncates to bf16 — mm-scale position error)."""
+        C = t.shape[0]
+        qx, qy, qz = qv[:, 0], qv[:, 1], qv[:, 2]
+        Rc = jnp.stack([
+            1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * q0),
+            2 * (qx * qz + qy * q0),
+            2 * (qx * qy + qz * q0), 1 - 2 * (qx * qx + qz * qz),
+            2 * (qy * qz - qx * q0),
+            2 * (qx * qz - qy * q0), 2 * (qy * qz + qx * q0),
+            1 - 2 * (qx * qx + qy * qy),
+        ], -1).reshape(C, 3, 3)
+        M = jnp.einsum("ji,cjk->cik", R, Rc,
+                       precision=jax.lax.Precision.HIGHEST)   # [C, 3, 3]
+        b = t @ R                                             # rows R^T t_c
+        Mt = M.reshape(C * 3, 3).T          # Mt[i, c*3+j] = M_c[j, i]
+        cam = jax.lax.dot_general(
+            g, Mt, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)              # [P, C*3]
+        cam = cam.reshape(-1, C, 3).transpose(1, 0, 2) + b[:, None, :]
+        return cam[..., 0], cam[..., 1], cam[..., 2]
+
     def _eval_tier_brick(self, table_slab, level, level_index, R, T, ss,
                          vertex, normal, tsdf_flat, origin):
         """Brick-mode candidate evaluation (see eval_mode doc above).
@@ -301,25 +330,40 @@ class ROTracker:
         qv = table_slab[:, 3:] * ss[None, 3:]
         q0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qv * qv, -1), 1e-12))
 
-        gx, gy, gz = g[None, :, 0], g[None, :, 1], g[None, :, 2]
-        qx, qy, qz = qv[:, 0, None], qv[:, 1, None], qv[:, 2, None]
-        q0c = q0[:, None]
-        c1x = qy * gz - qz * gy
-        c1y = qz * gx - qx * gz
-        c1z = qx * gy - qy * gx
-        c2x = qy * c1z - qz * c1y
-        c2y = qz * c1x - qx * c1z
-        c2z = qx * c1y - qy * c1x
-        xw = gx + 2.0 * q0c * c1x + 2.0 * c2x + t[:, 0, None] + T[0]
-        yw = gy + 2.0 * q0c * c1y + 2.0 * c2y + t[:, 1, None] + T[1]
-        zw = gz + 2.0 * q0c * c1z + 2.0 * c2z + t[:, 2, None] + T[2]
+        n_pix = (H // level) * (W // level)
+        if n_pix >= 2048:
+            # Large-pixel tiers: per-candidate rotations as one MXU matmul
+            # (cam = (R^T Rc) g + R^T t_c; world recovered as R cam + T).
+            # The per-pair quaternion arithmetic below is cheaper on the VPU
+            # only while C >> P; measured 1.7x faster here at the finest
+            # tier (C=1024, P=4800).
+            cam_x, cam_y, cam_z = self._mxu_cam(g, t, qv, q0, R)
+            xw = (R[0, 0] * cam_x + R[0, 1] * cam_y + R[0, 2] * cam_z
+                  + T[0])
+            yw = (R[1, 0] * cam_x + R[1, 1] * cam_y + R[1, 2] * cam_z
+                  + T[1])
+            zw = (R[2, 0] * cam_x + R[2, 1] * cam_y + R[2, 2] * cam_z
+                  + T[2])
+        else:
+            gx, gy, gz = g[None, :, 0], g[None, :, 1], g[None, :, 2]
+            qx, qy, qz = qv[:, 0, None], qv[:, 1, None], qv[:, 2, None]
+            q0c = q0[:, None]
+            c1x = qy * gz - qz * gy
+            c1y = qz * gx - qx * gz
+            c1z = qx * gy - qy * gx
+            c2x = qy * c1z - qz * c1y
+            c2y = qz * c1x - qx * c1z
+            c2z = qx * c1y - qy * c1x
+            xw = gx + 2.0 * q0c * c1x + 2.0 * c2x + t[:, 0, None] + T[0]
+            yw = gy + 2.0 * q0c * c1y + 2.0 * c2y + t[:, 1, None] + T[1]
+            zw = gz + 2.0 * q0c * c1z + 2.0 * c2z + t[:, 2, None] + T[2]
 
-        rx = xw - T[0]
-        ry = yw - T[1]
-        rz = zw - T[2]
-        cam_x = R[0, 0] * rx + R[1, 0] * ry + R[2, 0] * rz
-        cam_y = R[0, 1] * rx + R[1, 1] * ry + R[2, 1] * rz
-        cam_z = R[0, 2] * rx + R[1, 2] * ry + R[2, 2] * rz
+            rx = xw - T[0]
+            ry = yw - T[1]
+            rz = zw - T[2]
+            cam_x = R[0, 0] * rx + R[1, 0] * ry + R[2, 0] * rz
+            cam_y = R[0, 1] * rx + R[1, 1] * ry + R[2, 1] * rz
+            cam_z = R[0, 2] * rx + R[1, 2] * ry + R[2, 2] * rz
         safe_z = jnp.where(cam_z != 0, cam_z, 1e-9)
         px = jnp.floor(cam_x * K[0, 0] / safe_z + K[0, 2] + 0.5)
         py = jnp.floor(cam_y * K[1, 1] / safe_z + K[1, 2] + 0.5)

@@ -256,3 +256,86 @@ def test_random_feature_perceptual_orders_distortions():
     assert 0 < d_small < d_big < d_struct
     v, kind = perceptual_distance(img, small)
     assert np.isfinite(v) and kind in ("lpips", "rf_perceptual")
+
+
+def test_global_tiled_integrator_matches_dense():
+    """The frustum-tiled global integrator must be bit-identical to the
+    dense fuse_frame(global_mode=True) sweep, including de-integration."""
+    import jax
+    rng = np.random.default_rng(3)
+    K, depth, rgb, c2w = _rand_frame(rng)
+    H, W = depth.shape
+    R = 48
+    tile = tsdf_ops.pick_global_tile(R)
+    assert tile is not None
+    bound = np.array([[0.0, 3.0], [0.0, 3.0], [0.0, 3.0]], np.float32)
+    trunc = 0.25
+    rgb01 = rgb / 255.0
+
+    gbv = np.zeros((R, R, R, 4), np.float32)
+    # tsdf away from 1.0: integrate-then-deintegrate of a tsdf==1 voxel puts
+    # new_tsdf exactly ON the global-mode overflow boundary (>1 skip), where
+    # the two compiled programs' fp rounding legitimately disagrees
+    gbv[..., 0] = rng.uniform(-1.0, 0.9, (R, R, R))
+    gbv[..., 1:] = rng.uniform(0, 1, (R, R, R, 3))
+    gbw = rng.uniform(0, 3, (R, R, R)).astype(np.float32)
+
+    def dense(gbv, gbw, obs):
+        vol = tsdf_ops.VolumeState(
+            tsdf=jnp.asarray(gbv[..., 0]), weight=jnp.asarray(gbw),
+            color=jnp.asarray(gbv[..., 1:]), origin=jnp.asarray(bound[:, 0]))
+        out = tsdf_ops.fuse_frame(
+            vol, jnp.asarray(depth), jnp.asarray(rgb01), jnp.asarray(K),
+            jnp.asarray(c2w), voxel_size=1.0 / R, trunc_margin=trunc,
+            obs_weight=obs, im_h=H, im_w=W, global_mode=True,
+            scale=jnp.asarray(bound[:, 1] - bound[:, 0]),
+            voxel_size_is_normalized=True)
+        return (np.concatenate(
+            [np.asarray(out.tsdf)[..., None], np.asarray(out.color)], -1),
+            np.asarray(out.weight))
+
+    def tiled(gbv, gbw, obs):
+        vs = (bound[:, 1] - bound[:, 0]).astype(np.float64) / R
+        lam_max = float(np.sqrt(
+            1.0 + max((K[0, 2] / K[0, 0]) ** 2,
+                      ((W - K[0, 2]) / K[0, 0]) ** 2)
+            + max((K[1, 2] / K[1, 1]) ** 2,
+                  ((H - K[1, 2]) / K[1, 1]) ** 2)))
+        offs = tsdf_ops.frustum_tiles(
+            (R, R, R), tile, bound[:, 0].astype(np.float64), vs, K, c2w,
+            H, W, max_depth=lam_max * (float(depth.max()) + trunc),
+            pad_px=2.0)
+        budget = offs.shape[0] + 3
+        offs = np.concatenate(
+            [offs, np.full((budget - offs.shape[0], 3), -1, np.int32)], 0)
+        fn = tsdf_ops.make_global_tiled_integrator(
+            R, tile, budget, im_h=H, im_w=W, trunc_margin=trunc)
+        out_v, out_w = fn(jnp.asarray(gbv), jnp.asarray(gbw),
+                          jnp.asarray(offs), jnp.asarray(depth),
+                          jnp.asarray(rgb01), jnp.asarray(K),
+                          jnp.asarray(c2w), jnp.asarray(bound),
+                          jnp.asarray(obs, jnp.float32))
+        return np.asarray(out_v), np.asarray(out_w)
+
+    def assert_near(dw, tw, dv, tv, n_updated):
+        # XLA reassociates the (1/R)*extent voxel mapping differently in the
+        # two programs, so a handful of boundary voxels can flip their
+        # update decision or round to the neighboring pixel; require exact
+        # agreement on all but a sub-0.5% sliver, and any weight flip to be
+        # exactly one observation.
+        wdiff = dw != tw
+        vdiff = (np.abs(dv - tv) > 1e-5).any(-1)
+        bad = wdiff | vdiff
+        assert bad.sum() <= max(10, n_updated // 200), bad.sum()
+
+    dv, dw = dense(gbv, gbw, 1.0)
+    tv, tw = tiled(gbv, gbw, 1.0)
+    n_upd = int((dw != gbw).sum())
+    assert n_upd > 1000  # the frame actually updated something
+    assert_near(dw, tw, dv, tv, n_upd)
+
+    # de-integration parity (negative obs weight incl. reset rule); run both
+    # paths from the SAME post-integration state so only this pass differs
+    dv2, dw2 = dense(dv, dw, -1.0)
+    tv2, tw2 = tiled(dv, dw, -1.0)
+    assert_near(dw2, tw2, dv2, tv2, n_upd)
