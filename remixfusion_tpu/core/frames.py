@@ -68,8 +68,14 @@ class DeviceFramePrefetcher:
     def prefetch(self, idx: int, batch) -> None:
         if idx in self._cache:
             return
-        packed = pack_frame(np.asarray(batch["depth"]),
-                            np.asarray(batch["rgb"]))
+        packed = batch.get("_packed") if isinstance(batch, dict) else None
+        if packed is None:
+            packed = pack_frame(np.asarray(batch["depth"]),
+                                np.asarray(batch["rgb"]))
+            if isinstance(batch, dict):
+                # real sensors deliver u16-mm/u8 natively; cache the packed
+                # form so synthetic/float sources also pay the quantize once
+                batch["_packed"] = packed
         dev = jax.device_put(packed)
         self._cache[idx] = unpack_frame(dev)  # async dispatch
         while len(self._cache) > self.cap:

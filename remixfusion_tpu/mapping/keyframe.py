@@ -70,3 +70,86 @@ class KeyFrameDatabase:
         rays = self.rays[:num_kf].reshape(-1, 7)[idxs]
         fids = np.asarray(self.frame_ids)[idxs // self.num_rays_to_save]
         return rays, fids
+
+
+class DeviceKeyFrameStore:
+    """Device-resident keyframe ray store.
+
+    Same contract as KeyFrameDatabase (reference model/keyframe.py:5-96) but
+    the [num_kf * R, 7] ray buffer lives in HBM and is filled/sampled by
+    jitted programs: adding a keyframe consumes the already-staged device
+    depth/rgb (core/frames.py) plus the static direction grid, and the
+    mapping/BA steps sample batches in-program — so a mapping round uploads
+    no ray data at all (the host-store design shipped ~1 MB of sampled
+    batches through the H2D link every round).
+    """
+
+    def __init__(self, num_kf: int, num_rays_to_save: int, depth_trunc: float,
+                 n_pixels: int):
+        import jax
+        import jax.numpy as jnp
+        self.R = int(num_rays_to_save)
+        self.depth_trunc = float(depth_trunc)
+        self.n_pixels = int(n_pixels)
+        self.rays = jnp.zeros((num_kf * self.R, 7), jnp.float32)
+        self.frame_ids: list[int] = []
+        self._add_fns = {}
+
+    def __len__(self):
+        return len(self.frame_ids)
+
+    def _build_add(self, filtered: bool):
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        R = self.R
+        trunc = self.depth_trunc
+
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+        def add(store, dep, rgb, dirs_flat, slot, key):
+            depth = dep.reshape(-1)
+            k1, k2 = jax.random.split(key)
+            uidx = jax.random.randint(k1, (R,), 0, depth.shape[0])
+            if filtered:
+                valid = (depth > 0.0) & (depth <= trunc)
+                cnt = valid.sum()
+                cdf = jnp.cumsum(valid.astype(jnp.int32))
+                u = jax.random.randint(k2, (R,), 1,
+                                       jnp.maximum(cnt, 1) + 1)
+                fidx = jnp.clip(jnp.searchsorted(cdf, u),
+                                0, depth.shape[0] - 1)
+                # reference falls back to the uniform draw when the valid
+                # pool is not larger than R (keyframe.py:39-44)
+                idx = jnp.where(cnt > R, fidx, uidx)
+            else:
+                idx = uidx
+            sampled = jnp.concatenate(
+                [dirs_flat[idx], rgb.reshape(-1, 3)[idx],
+                 depth[idx][:, None]], -1)
+            return jax.lax.dynamic_update_slice(store, sampled, (slot * R, 0))
+
+        return add
+
+    def add_keyframe(self, frame_id: int, dep_dev, rgb_dev, dirs_flat, key,
+                     filter_depth: bool = False):
+        import jax.numpy as jnp
+        first = frame_id == 0
+        variant = bool(filter_depth and not first)
+        if variant not in self._add_fns:
+            self._add_fns[variant] = self._build_add(variant)
+        self.rays = self._add_fns[variant](
+            self.rays, dep_dev, rgb_dev, dirs_flat,
+            jnp.asarray(len(self.frame_ids), jnp.int32), key)
+        self.frame_ids.append(int(frame_id))
+
+    def sample_global_rays(self, bs: int):
+        """Host-path compatibility shim (legacy _assemble_batches callers):
+        reads the device store back and samples uniformly with replacement.
+        The hot loop samples in-program instead (mapper.map_step_dev)."""
+        import numpy as np
+        num_kf = len(self.frame_ids)
+        pool = np.asarray(self.rays[:num_kf * self.R])
+        rng = np.random.default_rng(0)
+        idxs = rng.integers(0, max(num_kf, 1) * self.R, bs)
+        fids = np.asarray(self.frame_ids)[idxs // self.R]
+        return pool[idxs], fids

@@ -122,7 +122,7 @@ class Mapper:
 
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
                            bound, obs_weight: float = 1.0,
-                           host_depth=None) -> SceneBuffers:
+                           host_depth=None, host_c2w=None) -> SceneBuffers:
         """Fuse a keyframe into the explicit global grid
         (reference mapper.py:823-872). `bound`: [3, 2] world bounds; grid
         voxel i maps to bound_min + i/R * extent. One jitted program —
@@ -148,9 +148,13 @@ class Mapper:
                 + max(((0 - K_np[1, 2]) / K_np[1, 1]) ** 2,
                       ((im_h - K_np[1, 2]) / K_np[1, 1]) ** 2)))
             trunc = self.config["training"]["c_trunc"]
+            # host_c2w avoids np.asarray on a device pose here — that
+            # would be a blocking readback behind the whole device queue
+            c2w_np = (np.asarray(host_c2w) if host_c2w is not None
+                      else np.asarray(c2w))
             offs = tsdf_ops.frustum_tiles(
                 (R, R, R), tile, bound_np[:, 0], vs, K_np,
-                np.asarray(c2w), im_h, im_w,
+                c2w_np, im_h, im_w,
                 max_depth=lam_max * (dmax + trunc), pad_px=2.0)
             n_total = (R // tile) ** 3
             budget = 64
@@ -303,6 +307,150 @@ class Mapper:
             return params, opt_state, losses
 
         return step
+
+    # ---------------------------------------- device-sampled mapping/BA
+
+    def _sampler(self, R, sample, n_cur):
+        """In-jit batch sampler over the device keyframe store: [N, 7] rays
+        + [N] keyframe slots, N = sample + n_cur. Mirrors the host
+        _assemble_batches distribution (uniform with replacement over the
+        stored pool; uniform pixels of the current frame)."""
+        def sample_batch(kf_rays, n_kf, dirs_flat, rgb_flat, depth_flat,
+                         cur_kf_id, key):
+            k1, k2 = jax.random.split(key)
+            g_idx = jax.random.randint(k1, (sample,), 0,
+                                       jnp.maximum(n_kf, 1) * R)
+            g_rays = kf_rays[g_idx]
+            g_ids = (g_idx // R).astype(jnp.int32)
+            c_idx = jax.random.randint(k2, (n_cur,), 0, dirs_flat.shape[0])
+            c_rays = jnp.concatenate(
+                [dirs_flat[c_idx], rgb_flat[c_idx],
+                 depth_flat[c_idx][:, None]], -1)
+            rays = jnp.concatenate([g_rays, c_rays], 0)
+            ids = jnp.concatenate(
+                [g_ids, jnp.full((n_cur,), cur_kf_id, jnp.int32)])
+            return rays, ids
+        return sample_batch
+
+    def _build_map_step_dev(self, n_iters: int, n_cur: int, R: int):
+        """map_step_fused with the ray batches sampled INSIDE the program
+        from the device keyframe store + the staged current frame — a
+        mapping round uploads only kf_poses and scalars."""
+        scene = self.scene
+        tx = self.map_tx
+        sample = self.sample
+        sampler = self._sampler(R, sample, n_cur)
+
+        def loss_fn(params, buffers, rays, ids, poses_all, key):
+            per_ray = poses_all[ids]
+            dirs = rays[:, :3]
+            rays_d = jnp.einsum("ni,nji->nj", dirs, per_ray[:, :3, :3],
+                                precision=jax.lax.Precision.HIGHEST)
+            rays_o = per_ray[:, :3, 3]
+            k1, k2 = jax.random.split(key)
+            ret = scene.mapping_losses(
+                params, buffers, k1, rays_o, rays_d,
+                rays[:, 3:6], rays[:, 6:7])
+            return self._weighted_loss(ret, True, params, buffers, k2)
+
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, buffers, opt_state, kf_rays, n_kf, dirs_flat,
+                 dep, rgb, kf_poses, cur_kf_id, key):
+            cur_pose = scene.rba(jax.lax.stop_gradient(params.rba),
+                                 buffers.rba, cur_kf_id[None])[0]
+            poses_all = jax.lax.stop_gradient(
+                jnp.asarray(kf_poses).at[cur_kf_id].set(cur_pose))
+            rgb_flat = rgb.reshape(-1, 3)
+            depth_flat = dep.reshape(-1)
+
+            def body(carry, k):
+                params, opt_state = carry
+                ks, kl = jax.random.split(k)
+                rays, ids = sampler(kf_rays, n_kf, dirs_flat, rgb_flat,
+                                    depth_flat, cur_kf_id, ks)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, buffers, rays, ids, poses_all, kl)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(key, n_iters)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses
+
+        return step
+
+    def map_step_dev(self, params, buffers, kf_store, n_kf, dirs_flat,
+                     dep, rgb, kf_poses, cur_kf_id, key, n_iters, n_cur):
+        skey = ("map_dev", n_iters, n_cur)
+        if skey not in self._map_fused_fns:
+            self._map_fused_fns[skey] = self._build_map_step_dev(
+                n_iters, n_cur, kf_store.R)
+        params, self.map_opt_state, losses = self._map_fused_fns[skey](
+            params, buffers, self.map_opt_state, kf_store.rays,
+            jnp.asarray(n_kf, jnp.int32), dirs_flat, dep, rgb,
+            jnp.asarray(kf_poses), jnp.asarray(cur_kf_id, jnp.int32), key)
+        return params, losses
+
+    def _build_ba_step_dev(self, n_iters: int, n_cur: int, R: int):
+        scene = self.scene
+        tx = self.rba_tx
+        num_kf = scene.num_kf
+        all_ids = jnp.arange(num_kf)
+        sample = self.sample
+        sampler = self._sampler(R, sample, n_cur)
+
+        def loss_fn(params, buffers, rays, ids, key):
+            poses_all = scene.rba(params.rba, buffers.rba, all_ids)
+            per_ray = poses_all[ids]
+            dirs = rays[:, :3]
+            rays_d = jnp.einsum("ni,nji->nj", dirs, per_ray[:, :3, :3],
+                                precision=jax.lax.Precision.HIGHEST)
+            rays_o = per_ray[:, :3, 3]
+            k1, k2 = jax.random.split(key)
+            ret = scene.mapping_losses(
+                params, buffers, k1, rays_o, rays_d,
+                rays[:, 3:6], rays[:, 6:7], clamp=True)
+            return self._weighted_loss(ret, True, params, buffers, k2)
+
+        @partial(jax.jit, donate_argnums=(0, 2))
+        def step(params, buffers, opt_state, kf_rays, n_kf, dirs_flat,
+                 dep, rgb, cur_kf_id, key):
+            rgb_flat = rgb.reshape(-1, 3)
+            depth_flat = dep.reshape(-1)
+
+            def body(carry, k):
+                params, opt_state = carry
+                ks, kl = jax.random.split(k)
+                rays, ids = sampler(kf_rays, n_kf, dirs_flat, rgb_flat,
+                                    depth_flat, cur_kf_id, ks)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, buffers, rays, ids, kl)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(key, n_iters)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            poses_all = scene.rba(params.rba, buffers.rba, all_ids)
+            return params, opt_state, losses, poses_all
+
+        return step
+
+    def ba_step_dev(self, params, buffers, kf_store, n_kf, dirs_flat,
+                    dep, rgb, cur_kf_id, key, n_iters, n_cur):
+        skey = ("ba_dev", n_iters, n_cur)
+        if skey not in self._ba_step_fns:
+            self._ba_step_fns[skey] = self._build_ba_step_dev(
+                n_iters, n_cur, kf_store.R)
+        params, self.rba_opt_state, losses, poses_all = \
+            self._ba_step_fns[skey](
+                params, buffers, self.rba_opt_state, kf_store.rays,
+                jnp.asarray(n_kf, jnp.int32), dirs_flat, dep, rgb,
+                jnp.asarray(cur_kf_id, jnp.int32), key)
+        return params, losses, poses_all
 
     def map_step_fused(self, params, buffers, ray_batches, id_batches,
                        kf_poses, cur_kf_id, key):

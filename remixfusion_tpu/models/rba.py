@@ -53,14 +53,12 @@ class RBA:
     def update_init_pose(self, buffers: RBABuffers, cam_id,
                          c2w: jnp.ndarray) -> RBABuffers:
         """Refresh the stored initial pose for one keyframe from tracking
-        (reference rba.py:65-70)."""
-        r = pose_math.matrix_to_axis_angle(c2w[:3, :3])
-        t = c2w[:3, 3]
-        return RBABuffers(
-            buffers.init_c2w.at[cam_id].set(c2w),
-            buffers.init_r.at[cam_id].set(r),
-            buffers.init_t.at[cam_id].set(t),
-        )
+        (reference rba.py:65-70). One jitted program with cam_id as a traced
+        array: eager .at[python_int] would bake the index into the jaxpr and
+        recompile every keyframe (~120 ms/round on a remote-compile
+        backend)."""
+        return _update_init_pose_jit(buffers,
+                                     jnp.asarray(cam_id, jnp.int32), c2w)
 
     def __call__(self, params: Dict, buffers: RBABuffers,
                  cam_ids: jnp.ndarray) -> jnp.ndarray:
@@ -76,3 +74,15 @@ class RBA:
         r = out[:, :3] + init_r
         t = out[:, 3:] + init_t
         return pose_math.at_to_c2w(r, t)
+
+
+@jax.jit
+def _update_init_pose_jit(buffers: RBABuffers, cam_id: jnp.ndarray,
+                          c2w: jnp.ndarray) -> RBABuffers:
+    r = pose_math.matrix_to_axis_angle(c2w[:3, :3])
+    t = c2w[:3, 3]
+    return RBABuffers(
+        buffers.init_c2w.at[cam_id].set(c2w),
+        buffers.init_r.at[cam_id].set(r),
+        buffers.init_t.at[cam_id].set(t),
+    )

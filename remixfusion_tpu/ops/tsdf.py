@@ -435,13 +435,19 @@ def make_tiled_fuser(dims, tile, n_tiles, *, voxel_size, trunc_margin,
     return fuse
 
 
-def pick_global_tile(R: int, lo: int = 16, hi: int = 40) -> int | None:
-    """Largest divisor of R in [lo, hi] (tile edge for the tiled global
-    integrator); None when R has no divisor in range (dense fallback)."""
-    for t in range(hi, lo - 1, -1):
-        if R % t == 0:
-            return t
-    return None
+def pick_global_tile(R: int, lo: int = 10, hi: int = 40,
+                     target: int = 24) -> int | None:
+    """Divisor of R closest to `target` in [lo, hi] (tile edge for the
+    tiled global integrator); None when R has no divisor in range (dense
+    fallback). ~target-sized tiles keep the tile count high enough
+    (≥ (R/hi)^3) that frustum culling actually excludes tiles — overly
+    coarse tiles degenerate to the dense sweep."""
+    best = None
+    for t in range(lo, hi + 1):
+        if R % t == 0 and (best is None
+                           or abs(t - target) < abs(best - target)):
+            best = t
+    return best
 
 
 def make_global_tiled_integrator(R: int, tile: int, budget: int, *,

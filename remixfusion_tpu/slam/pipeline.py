@@ -75,9 +75,14 @@ class RemixFusionTPU:
         self.scene = SceneRepresentation(config, self.bound, self.num_kf)
         self.params, self.buffers = self.scene.init(jax.random.PRNGKey(0))
         self.mapper = Mapper(config, self.scene, self.params)
-        self.kfdb = KeyFrameDatabase(
-            config, self.dataset.H, self.dataset.W, self.num_kf,
-            self.dataset.num_rays_to_save)
+        # Device-resident keyframe ray store: filled from the staged device
+        # frames and sampled inside the jitted mapping/BA programs (the
+        # host-store design shipped ~1 MB of sampled ray batches through
+        # the H2D link every mapping round).
+        from remixfusion_tpu.mapping.keyframe import DeviceKeyFrameStore
+        self.kfdb = DeviceKeyFrameStore(
+            self.num_kf, self.dataset.num_rays_to_save,
+            config["cam"]["depth_trunc"], 0)
 
         self.est_c2w_data = np.zeros((n_frames, 4, 4), np.float32)
         self.est_c2w_data_rel = np.zeros((n_frames, 4, 4), np.float32)
@@ -92,6 +97,9 @@ class RemixFusionTPU:
             self.mv.dims, self.mv.voxel_size,
             brick_layout=self.mv.brick_layout())
         self.K_dev = jnp.asarray(self.dataset.K())
+        # static per-pixel camera-frame ray direction grid [H*W, 3]
+        self.dirs_dev = jnp.asarray(
+            np.asarray(self.dataset[0]["direction"], np.float32).reshape(-1, 3))
         # Seed the local volume with the first frame (reference
         # ROtracker.py:132 integrates frame 0 at tracker construction).
         batch0 = self.dataset[0]
@@ -105,6 +113,9 @@ class RemixFusionTPU:
         self._rng = jax.random.PRNGKey(config.get("seed", 42))
         self._np_rng = np.random.default_rng(config.get("seed", 42))
 
+        # In-flight tracked frame awaiting its pose readback (see
+        # _harvest_pending_track).
+        self._pending_track = None
         # Deferred BA write-back: (device poses_all, cur_kf_id, cur_frame_id)
         # applied one round late — matching the reference's cross-process
         # staleness (mp_slam/mapper.py:510-520 writes back while the tracker
@@ -127,6 +138,11 @@ class RemixFusionTPU:
                                     config["data"]["exp_name"])
         os.makedirs(self.out_dir, exist_ok=True)
         self.stats = {"track_time": [], "map_time": []}
+        # Fine-grained stage timing of the hot loop (REMIX_TIMERS=1);
+        # summary via self._stage_timer.summary().
+        from remixfusion_tpu.utils.runtime import StageTimer
+        self._stage_timer = (StageTimer()
+                             if os.environ.get("REMIX_TIMERS") else None)
 
     # --------------------------------------------------------------- setup
 
@@ -182,6 +198,106 @@ class RemixFusionTPU:
 
     # ------------------------------------------------------- first frame
 
+    def prewarm(self):
+        """Compile (or load from the persistent cache) every device-program
+        variant the online loop can reach — track, fuse brick buckets, the
+        frame unpacker, the re-center shift, tiled-integrate budgets, and
+        the map/BA ray buckets — so no compile stall lands inside the
+        tracked sequence. Uses throwaway buffers; model and optimizer state
+        are snapshotted and restored."""
+        import time as _time
+        t0 = _time.time()
+        ds = self.dataset
+        im_h, im_w = ds.H, ds.W
+        dep = jnp.full((im_h, im_w), 1.5, jnp.float32)
+        rgb = jnp.full((im_h, im_w, 3), 0.5, jnp.float32)
+        pose = jnp.asarray(self.est_c2w_data[0])
+        mv = self.mv
+        st = mv.state
+        if not hasattr(self, "_tf_fns"):
+            self._tf_fns = {}
+
+        # frame unpacker
+        from remixfusion_tpu.core.frames import pack_frame, unpack_frame
+        jax.block_until_ready(unpack_frame(jax.device_put(pack_frame(
+            np.ones((im_h, im_w), np.float32),
+            np.zeros((im_h, im_w, 3), np.float32)))))
+
+        # track + one fuse program per brick bucket (dummy donated volumes)
+        modes = ([("brick", b) for b in mv.brick_buckets]
+                 if mv.brick else ["full"])
+        for mode in modes:
+            key = ("tf", im_h, im_w, mode)
+            if key not in self._tf_fns:
+                self._tf_fns[key] = self._build_track_and_fuse(
+                    im_h, im_w, mode)
+            offsets = (jnp.full((mode[1], 3), -1, jnp.int32)
+                       if isinstance(mode, tuple) else None)
+            res, t2, w2, c2 = self._tf_fns[key](
+                jnp.zeros_like(st.tsdf), jnp.zeros_like(st.weight),
+                jnp.zeros_like(st.color), st.origin, offsets, dep, rgb,
+                self.K_dev, pose, self._next_key(),
+                self.tracker.init_search_size())
+            jax.block_until_ready((res.c2w, t2))
+            del t2, w2, c2
+
+        # re-center shift (identity move; state-preserving)
+        from remixfusion_tpu.ops import tsdf as tsdf_ops
+        dense = mv.dense_state()
+        dense = tsdf_ops.shift_volume(
+            dense, dense.origin, mv.voxel_size)
+        mv.set_dense_state(dense)
+        jax.block_until_ready(mv.state.tsdf)
+
+        # tiled global-integrate budgets (dummy donated grids)
+        R = self.scene.gbv_resolution
+        tile = tsdf_ops.pick_global_tile(R)
+        if tile is not None:
+            n_total = (R // tile) ** 3
+            budget = 64
+            while budget < n_total:
+                ikey = ("tiled", im_h, im_w, tile, budget)
+                if ikey not in self.mapper._integrate_fns:
+                    self.mapper._integrate_fns[ikey] = \
+                        tsdf_ops.make_global_tiled_integrator(
+                            R, tile, budget, im_h=im_h, im_w=im_w,
+                            trunc_margin=self.config["training"]["c_trunc"])
+                gv, gw = self.mapper._integrate_fns[ikey](
+                    jnp.zeros_like(self.buffers.gbv),
+                    jnp.zeros_like(self.buffers.gbw),
+                    jnp.full((budget, 3), -1, jnp.int32), dep, rgb,
+                    self.K_dev, pose, jnp.asarray(self.bound, jnp.float32),
+                    jnp.asarray(1.0, jnp.float32))
+                jax.block_until_ready(gv)
+                del gv, gw
+                budget *= 2
+
+        # map/BA ray-bucket variants (copied params, snapshotted optimizers)
+        m = self.config["mapping"]
+        sample = self.mapper.sample
+        buckets = sorted({m["min_pixels_cur"],
+                          max(sample // 4, m["min_pixels_cur"]), sample})
+        kf_poses = np.tile(np.eye(4, dtype=np.float32),
+                           (self.num_kf, 1, 1))
+        copy = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)
+        for b in buckets:
+            snap = copy(self.mapper.map_opt_state)
+            self.mapper.map_step_dev(
+                copy(self.params), self.buffers, self.kfdb, 1,
+                self.dirs_dev, dep, rgb, kf_poses, 0, self._next_key(),
+                m["iters"], b)
+            self.mapper.map_opt_state = snap
+            if m["opt_pose"]:
+                snap = copy(self.mapper.rba_opt_state)
+                self.mapper.ba_step_dev(
+                    copy(self.params), self.buffers, self.kfdb, 1,
+                    self.dirs_dev, dep, rgb, 0, self._next_key(),
+                    m["BA_iters"], b)
+                self.mapper.rba_opt_state = snap
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.params)[0])
+        print(f"prewarm: {len(modes)} fuse + {len(buckets)} ray buckets "
+              f"in {_time.time() - t0:.1f}s")
+
     def first_frame_mapping(self):
         """(reference mapper.py:284-364)"""
         batch = self.dataset[0]
@@ -193,7 +309,7 @@ class RemixFusionTPU:
         self.buffers = self.mapper.integrate_keyframe(
             self.buffers, jnp.asarray(batch["depth"]),
             jnp.asarray(batch["rgb"]), self.K_dev, jnp.asarray(c2w),
-            self.bound, host_depth=batch["depth"])
+            self.bound, host_depth=batch["depth"], host_c2w=c2w)
         self.buffers = self.buffers._replace(
             rba=self.scene.rba.update_init_pose(
                 self.buffers.rba, 0, jnp.asarray(c2w)))
@@ -227,8 +343,10 @@ class RemixFusionTPU:
                 np.stack(rd), self._next_key())
             done += n
 
-        self.kfdb.add_keyframe(batch,
-                               filter_depth=self.config["mapping"]["filter_depth"])
+        dep_dev, rgb_dev = self._dev_frames.get(0, batch)
+        self.kfdb.add_keyframe(
+            0, dep_dev, rgb_dev, self.dirs_dev, self._next_key(),
+            filter_depth=self.config["mapping"]["filter_depth"])
         return float(np.asarray(losses)[-1])
 
     # ----------------------------------------------------------- tracking
@@ -348,45 +466,18 @@ class RemixFusionTPU:
                 return res, t2, w2, c2
         return step
 
-    def track_frame(self, frame_id: int, batch):
-        t0 = time.time()
-        self._cache_frame(frame_id, batch)
-        init = self.predict_current_pose(frame_id)
-
-        # Re-center policy evaluated on the PREDICTED pose (mm accuracy vs a
-        # 1 m threshold) so the shift happens before the fused dispatch.
-        self.mv.check_move(frame_id, init)
-
-        im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
-        if self.mv.brick:
-            offsets, bucket = self._frame_bricks(init, batch["depth"])
-            mode = ("brick", bucket)
-        else:
-            offsets, tiled = self._frame_tiles(init, im_h, im_w,
-                                               depth=batch["depth"])
-            mode = "tiled" if tiled else "full"
-        key = ("tf", im_h, im_w, mode)
-        if not hasattr(self, "_tf_fns"):
-            self._tf_fns = {}
-        if key not in self._tf_fns:
-            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, mode)
-        st = self.mv.state
-        dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch)
-        res, tsdf, weight, color = self._tf_fns[key](
-            st.tsdf, st.weight, st.color, st.origin, offsets,
-            dep_dev, rgb_dev,
-            self.K_dev, jnp.asarray(init), self._next_key(),
-            self.tracker.init_search_size())
-        from remixfusion_tpu.ops.tsdf import VolumeState
-        self.mv.state = VolumeState(tsdf, weight, color, st.origin)
-        # Stage the NEXT frame's transfer while the device chews on this
-        # frame's program — the readback below is the synchronization point.
-        nxt = frame_id + 1
-        if nxt < self.dataset.num_frames:
-            try:
-                self._dev_frames.prefetch(nxt, self._get_frame(nxt))
-            except Exception:
-                pass  # prefetch is best-effort; the get() path covers misses
+    def _harvest_pending_track(self):
+        """Collect the previous frame's tracked pose (dispatched last call)
+        and run its host bookkeeping. Deferring the readback by one frame
+        removes the per-frame blocking sync: by the time the next frame
+        needs pose i-1 (prediction, selection, re-center), the result has
+        already streamed back. This is the same one-frame pose staleness the
+        reference's two-process design has between tracker and mapper."""
+        pending = self._pending_track
+        if pending is None:
+            return
+        self._pending_track = None
+        frame_id, res, init = pending
         c2w = np.asarray(res.c2w)
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w
@@ -406,10 +497,6 @@ class RemixFusionTPU:
             tag = "success" if ape_a < ape_b else "fail"
             print(f"final {tag} ape: {ape_b:.6f}->{ape_a:.6f}")
 
-        # (volume re-center ran pre-dispatch on the predicted pose; fusion
-        # of this frame ran inside the combined track+fuse program — cf.
-        # reference ROtracker.post_processing, ROtracker.py:911-945)
-
         # optional local-volume mesh dumps (reference RO.save_volume path,
         # ROtracker.py:941-945)
         ro_cfg = self.config["RO"]
@@ -424,8 +511,67 @@ class RemixFusionTPU:
                            verts, faces, colors=colors, normals=norms)
 
         self.tracking_idx = frame_id
-        self.stats["track_time"].append(time.time() - t0)
         return c2w
+
+    def track_frame(self, frame_id: int, batch):
+        t0 = time.time()
+        _st = self._stage_timer  # None unless REMIX_TIMERS=1
+        if _st: _st.start("t_harvest")
+        # Block on the PREVIOUS frame's pose (tiny, already async-copied) —
+        # the natural backpressure point; everything below overlaps the
+        # device still working on this queue.
+        self._harvest_pending_track()
+        if _st: _st.stop("t_harvest"); _st.start("t_pre")
+        self._cache_frame(frame_id, batch)
+        init = self.predict_current_pose(frame_id)
+
+        # Re-center policy evaluated on the PREDICTED pose (mm accuracy vs a
+        # 1 m threshold) so the shift happens before the fused dispatch.
+        self.mv.check_move(frame_id, init)
+
+        im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
+        if _st: _st.stop("t_pre"); _st.start("t_select")
+        if self.mv.brick:
+            offsets, bucket = self._frame_bricks(init, batch["depth"])
+            mode = ("brick", bucket)
+        else:
+            offsets, tiled = self._frame_tiles(init, im_h, im_w,
+                                               depth=batch["depth"])
+            mode = "tiled" if tiled else "full"
+        key = ("tf", im_h, im_w, mode)
+        if not hasattr(self, "_tf_fns"):
+            self._tf_fns = {}
+        if key not in self._tf_fns:
+            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, mode)
+        st = self.mv.state
+        dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch)
+        if _st: _st.stop("t_select"); _st.start("t_dispatch")
+        res, tsdf, weight, color = self._tf_fns[key](
+            st.tsdf, st.weight, st.color, st.origin, offsets,
+            dep_dev, rgb_dev,
+            self.K_dev, jnp.asarray(init), self._next_key(),
+            self.tracker.init_search_size())
+        from remixfusion_tpu.ops.tsdf import VolumeState
+        self.mv.state = VolumeState(tsdf, weight, color, st.origin)
+        try:
+            # stream the pose back while the host moves on
+            res.c2w.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending_track = (frame_id, res, init)
+        if _st: _st.stop("t_dispatch"); _st.start("t_prefetch")
+        # Upload the NEXT frame after this dispatch: the transfer rides
+        # under this frame's device compute and is long done before the
+        # fuser of frame+1 executes.
+        nxt = frame_id + 1
+        if nxt < self.dataset.num_frames:
+            try:
+                self._dev_frames.prefetch(nxt, self._get_frame(nxt))
+            except Exception:
+                pass  # best-effort; the get() path covers misses
+        if _st: _st.stop("t_prefetch")
+        self.stats["track_time"].append(time.time() - t0)
+        return None
 
     # ------------------------------------------------------------ mapping
 
@@ -462,16 +608,18 @@ class RemixFusionTPU:
         the program (reference mapper.py:385-390)."""
         kf_every = self.config["mapping"]["keyframe_every"]
         iters = self.config["mapping"]["iters"]
-        rays_b, ids_b, cur_kf_id = self._assemble_batches(
-            batch, cur_frame_id, iters, for_ba=False)
+        cur_kf_id = cur_frame_id // kf_every
+        n_cur = self.mapper.current_ray_budget(len(self.kfdb))
 
         kf_poses = np.zeros((self.num_kf, 4, 4), np.float32)
         n_valid = cur_kf_id + 1
         kf_poses[:n_valid] = self.est_c2w_data[
             np.arange(n_valid) * kf_every]
-        self.params, losses = self.mapper.map_step_fused(
-            self.params, self.buffers, rays_b, ids_b, kf_poses, cur_kf_id,
-            self._next_key())
+        dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
+        self.params, losses = self.mapper.map_step_dev(
+            self.params, self.buffers, self.kfdb, len(self.kfdb),
+            self.dirs_dev, dep_dev, rgb_dev, kf_poses, cur_kf_id,
+            self._next_key(), iters, n_cur)
         return losses
 
     def global_pose(self, batch, cur_frame_id):
@@ -483,10 +631,13 @@ class RemixFusionTPU:
         m = self.config["mapping"]
         if not m["opt_pose"]:
             return None
-        rays_b, ids_b, cur_kf_id = self._assemble_batches(
-            batch, cur_frame_id, m["BA_iters"], for_ba=True)
-        self.params, losses, poses_all = self.mapper.ba_step(
-            self.params, self.buffers, rays_b, ids_b, self._next_key())
+        cur_kf_id = cur_frame_id // m["keyframe_every"]
+        n_cur = self.mapper.current_ray_budget(len(self.kfdb))
+        dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
+        self.params, losses, poses_all = self.mapper.ba_step_dev(
+            self.params, self.buffers, self.kfdb, len(self.kfdb),
+            self.dirs_dev, dep_dev, rgb_dev, cur_kf_id, self._next_key(),
+            m["BA_iters"], n_cur)
         try:
             # Start the device->host copy now so next round's write-back
             # (_apply_pending_ba) doesn't pay the readback round trip.
@@ -515,28 +666,45 @@ class RemixFusionTPU:
     def mapping_round(self, cur_frame_id):
         """One mapping round at current_map_id (reference mapper.py:874-928)."""
         t0 = time.time()
+        _st = self._stage_timer
+        if _st: _st.start("m_ba_apply")
         self._apply_pending_ba()
+        if _st: _st.stop("m_ba_apply")
         batch = self._get_frame(cur_frame_id)
         kf_every = self.config["mapping"]["keyframe_every"]
 
+        if _st: _st.start("m_integrate")
         if self.mapping_idx % kf_every == 0:
             cur_kf_id = cur_frame_id // kf_every
             c2w = jnp.asarray(self.est_c2w_data[cur_frame_id])
+            if _st: _st.start("m_i_rba")
             self.buffers = self.buffers._replace(
                 rba=self.scene.rba.update_init_pose(
                     self.buffers.rba, cur_kf_id, c2w))
+            if _st: _st.stop("m_i_rba"); _st.start("m_i_get")
             dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
+            if _st: _st.stop("m_i_get"); _st.start("m_i_fuse")
             self.buffers = self.mapper.integrate_keyframe(
                 self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound,
-                host_depth=batch["depth"])
+                host_depth=batch["depth"],
+                host_c2w=self.est_c2w_data[cur_frame_id])
+            if _st: _st.stop("m_i_fuse")
 
+        if _st: _st.stop("m_integrate"); _st.start("m_map")
         self.global_mapping(batch, cur_frame_id)
+        if _st: _st.stop("m_map"); _st.start("m_ba")
         self.global_pose(batch, cur_frame_id)
+        if _st: _st.stop("m_ba")
         self.mapping_idx = cur_frame_id
 
+        if _st: _st.start("m_kfadd")
         if self.mapping_idx % kf_every == 0:
+            dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
             self.kfdb.add_keyframe(
-                batch, filter_depth=self.config["mapping"]["filter_depth"])
+                cur_frame_id, dep_dev, rgb_dev, self.dirs_dev,
+                self._next_key(),
+                filter_depth=self.config["mapping"]["filter_depth"])
+        if _st: _st.stop("m_kfadd")
 
         # mesh video snapshots (reference mapper.py:909-913)
         video = self.config.get("video", {})
@@ -595,6 +763,7 @@ class RemixFusionTPU:
     def finalize(self):
         """Trajectory dump, final ATE, checkpoint, final mesh
         (reference mapper.py:930-950)."""
+        self._harvest_pending_track()
         self._apply_pending_ba()
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
@@ -634,6 +803,7 @@ class RemixFusionTPU:
     def convert_relative_pose(self, idx=None):
         """{frame: abs pose} with non-keyframes composed from their keyframe
         (reference mapper.py:580-624)."""
+        self._harvest_pending_track()
         kf_every = self.config["mapping"]["keyframe_every"]
         end = (idx + 1) if idx is not None else len(self.est_c2w_data)
         poses = {}
@@ -717,7 +887,7 @@ class RemixFusionTPU:
                 self.buffers, jnp.asarray(batch["depth"]),
                 jnp.asarray(batch["rgb"]), self.K_dev,
                 jnp.asarray(self.est_c2w_data[i]), self.bound,
-                host_depth=batch["depth"])
+                host_depth=batch["depth"], host_c2w=self.est_c2w_data[i])
 
     def render_img(self, frame_id, gt_depth, gt_rgb, cam_pose, directions,
                    prefix=None, gap=4):
