@@ -36,6 +36,14 @@ from remixfusion_tpu.models.scene_rep import SceneBuffers, SceneParams, SceneRep
 from remixfusion_tpu.ops import tsdf as tsdf_ops
 
 
+@jax.jit
+def _pack_gbq(gbv: jnp.ndarray, gbw: jnp.ndarray) -> jnp.ndarray:
+    """Pair-packed query mirror of the explicit grid: [R^3, 10] rows of
+    (tsdf, rgb, w) for flat voxel i and i+1 (see SceneBuffers.gbq)."""
+    flat = jnp.concatenate([gbv.reshape(-1, 4), gbw.reshape(-1, 1)], -1)
+    return jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], -1)
+
+
 def _label_tree(params: SceneParams, hash_label, decoder_label, rba_label):
     return SceneParams(
         hash_table=hash_label,
@@ -181,7 +189,8 @@ class Mapper:
                 jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
                 jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
                 jnp.asarray(obs_weight, jnp.float32))
-            return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba)
+            return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
+                                gbq=_pack_gbq(gbv, gbw))
 
         key = (im_h, im_w)
         if key not in self._integrate_fns:
@@ -191,14 +200,16 @@ class Mapper:
             jnp.asarray(K), jnp.asarray(c2w),
             jnp.asarray(bound, jnp.float32),
             jnp.asarray(obs_weight, jnp.float32))
-        return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba)
+        return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
+                                gbq=_pack_gbq(gbv, gbw))
 
     def reset_global_volume(self, buffers: SceneBuffers) -> SceneBuffers:
         """clean_tsdf semantics: tsdf=1, rgb=0, weights=0
         (reference mapper.py:161-183, 267-282)."""
         gbv = jnp.zeros_like(buffers.gbv).at[..., 0].set(1.0)
-        return SceneBuffers(gbv=gbv, gbw=jnp.zeros_like(buffers.gbw),
-                            rba=buffers.rba)
+        gbw = jnp.zeros_like(buffers.gbw)
+        return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
+                            gbq=_pack_gbq(gbv, gbw))
 
     # -------------------------------------------------------------- losses
 

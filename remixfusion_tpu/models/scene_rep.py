@@ -50,6 +50,13 @@ class SceneBuffers(NamedTuple):
     gbv: jnp.ndarray       # [R, R, R, 4] tsdf + rgb (explicit global volume)
     gbw: jnp.ndarray       # [R, R, R] fusion weights
     rba: RBABuffers
+    # Derived pair-packed query mirror [R^3, 10]: row i = (tsdf,rgb,w) of
+    # flat voxel i followed by voxel i+1 (z-adjacent). Trilinear queries
+    # then need 4 gathers of 10-wide rows instead of 8+8 narrow ones —
+    # gathers on TPU are per-row latency-priced. Rebuilt after every
+    # explicit-grid update (see Mapper._with_gbq); None = fall back to the
+    # direct 8-corner path (mesh/eval tools, tests).
+    gbq: jnp.ndarray | None = None
 
 
 class SceneRepresentation:
@@ -99,6 +106,31 @@ class SceneRepresentation:
         return params, buffers
 
     # ----------------------------------------------------- explicit volume
+
+    def query_gbvw_fast(self, buffers: "SceneBuffers",
+                        pts: jnp.ndarray) -> jnp.ndarray:
+        """[N, 5] (tsdf, r, g, b, w) trilinear query through the pair-packed
+        mirror when available (4 gathers), else the direct path."""
+        if buffers.gbq is not None:
+            R = self.gbv_resolution
+            pos = pts * R
+            low = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
+            frac = jnp.clip(pos - low.astype(jnp.float32), 0.0, 1.0)
+            sx, sy = R * R, R
+            base = low[:, 0] * sx + low[:, 1] * sy + low[:, 2]
+            fz = frac[:, 2]
+            out = jnp.zeros((pts.shape[0], 5), jnp.float32)
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    idx = base + dx * sx + dy * sy
+                    w = ((frac[:, 0] if dx else 1 - frac[:, 0])
+                         * (frac[:, 1] if dy else 1 - frac[:, 1]))
+                    row = buffers.gbq[idx]          # [N, 10] = z0 | z1
+                    out = out + (w * (1 - fz))[:, None] * row[:, :5]                               + (w * fz)[:, None] * row[:, 5:]
+            return out
+        v = self.query_gbv(buffers.gbv, pts)
+        w = self.query_gbw(buffers.gbw, pts)
+        return jnp.concatenate([v, w[:, None]], -1)
 
     def query_gbv(self, gbv: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         """Trilinear lookup of the explicit grid at normalized points [N, 3].
@@ -205,7 +237,7 @@ class SceneRepresentation:
         TSDF (scene_rep.py:314-349)."""
         embedded = self.embed_res_fn(params.hash_table, pts)
         embedded_pos = self.embedpos_fn(None, pts)
-        ex_trgb = self.query_gbv(buffers.gbv, pts)
+        ex_trgb = self.query_gbvw_fast(buffers, pts)[:, :4]
         tmp_tsdf = self._explicit_tsdf(ex_trgb)
         if clamp:
             threshold = self.config["mapping"]["clamp"]

@@ -869,8 +869,11 @@ class RemixFusionTPU:
         new_flat = [jnp.asarray(data[f"param_{i}"]) for i in range(len(flat))]
         self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
         from remixfusion_tpu.models.rba import RBABuffers
+        from remixfusion_tpu.mapping.mapper import _pack_gbq
+        gbv = jnp.asarray(data["gbv"])
+        gbw = jnp.asarray(data["gbw"])
         self.buffers = self.buffers._replace(
-            gbv=jnp.asarray(data["gbv"]), gbw=jnp.asarray(data["gbw"]),
+            gbv=gbv, gbw=gbw, gbq=_pack_gbq(gbv, gbw),
             rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
                            jnp.asarray(data["rba_init_r"]),
                            jnp.asarray(data["rba_init_t"])))

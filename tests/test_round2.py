@@ -339,3 +339,34 @@ def test_global_tiled_integrator_matches_dense():
     dv2, dw2 = dense(dv, dw, -1.0)
     tv2, tw2 = tiled(dv, dw, -1.0)
     assert_near(dw2, tw2, dv2, tv2, n_upd)
+
+
+def test_pair_packed_gbv_query_matches_direct():
+    """query_gbvw_fast through the gbq mirror must equal the direct
+    8-corner gbv/gbw trilinear path."""
+    import jax
+    from remixfusion_tpu.config import load_config
+    from remixfusion_tpu.models.scene_rep import SceneBuffers, SceneRepresentation
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+
+    cfg = tiny_config()
+    bound = np.array([[0, 2], [0, 2], [0, 2]], np.float32)
+    scene = SceneRepresentation(cfg, bound, 8)
+    R = scene.gbv_resolution
+    rng = np.random.default_rng(0)
+    gbv = jnp.asarray(rng.normal(size=(R, R, R, 4)).astype(np.float32))
+    gbw = jnp.asarray(rng.uniform(0, 5, (R, R, R)).astype(np.float32))
+    from remixfusion_tpu.models.rba import RBA
+    rba_b = scene.rba.init_buffers()
+    buf_direct = SceneBuffers(gbv=gbv, gbw=gbw, rba=rba_b)
+    buf_packed = SceneBuffers(gbv=gbv, gbw=gbw, rba=rba_b,
+                              gbq=_pack_gbq(gbv, gbw))
+    pts = jnp.asarray(rng.uniform(0.01, 0.99, (512, 3)).astype(np.float32))
+    a = np.asarray(scene.query_gbvw_fast(buf_direct, pts))
+    b = np.asarray(scene.query_gbvw_fast(buf_packed, pts))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # and the direct components agree with query_gbv/query_gbw
+    v = np.asarray(scene.query_gbv(gbv, pts))
+    w = np.asarray(scene.query_gbw(gbw, pts))
+    np.testing.assert_allclose(a[:, :4], v, atol=1e-6)
+    np.testing.assert_allclose(a[:, 4], w, atol=1e-6)
