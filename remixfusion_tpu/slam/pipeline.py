@@ -116,6 +116,13 @@ class RemixFusionTPU:
         # In-flight tracked frame awaiting its pose readback (see
         # _harvest_pending_track).
         self._pending_track = None
+        # Worker thread for look-ahead brick selection: the main thread
+        # spends ~100 ms/frame blocked on the device inside the harvest;
+        # the selector's numpy work rides in that window (single core is
+        # enough — the blocking wait releases the GIL).
+        from concurrent.futures import ThreadPoolExecutor
+        self._sel_pool = ThreadPoolExecutor(max_workers=1)
+        self._lookahead_sel = None
         # Deferred BA write-back: (device poses_all, cur_kf_id, cur_frame_id)
         # applied one round late — matching the reference's cross-process
         # staleness (mp_slam/mapper.py:510-520 writes back while the tracker
@@ -532,7 +539,15 @@ class RemixFusionTPU:
         im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
         if _st: _st.stop("t_pre"); _st.start("t_select")
         if self.mv.brick:
-            offsets, bucket = self._frame_bricks(init, batch["depth"])
+            la = self._lookahead_sel
+            self._lookahead_sel = None
+            if (la is not None and la[0] == frame_id
+                    and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
+                bricks_np, bucket = la[2].result()
+                offsets = jnp.asarray(bricks_np)
+                self.mv._fs_phase = la[3] + 1
+            else:
+                offsets, bucket = self._frame_bricks(init, batch["depth"])
             mode = ("brick", bucket)
         else:
             offsets, tiled = self._frame_tiles(init, im_h, im_w,
@@ -566,7 +581,24 @@ class RemixFusionTPU:
         nxt = frame_id + 1
         if nxt < self.dataset.num_frames:
             try:
-                self._dev_frames.prefetch(nxt, self._get_frame(nxt))
+                nxt_batch = self._get_frame(nxt)
+                self._dev_frames.prefetch(nxt, nxt_batch)
+                if self.mv.brick and frame_id >= 2:
+                    # Queue the NEXT frame's brick selection on the worker:
+                    # pose extrapolated one step further than the tracker's
+                    # own prediction (pose i is still on the device);
+                    # selector margins absorb the extra frame of motion.
+                    # Discarded on a re-center (origin snapshot mismatch).
+                    p1 = self.est_c2w_data[frame_id - 1].astype(np.float64)
+                    p2 = self.est_c2w_data[frame_id - 2].astype(np.float64)
+                    delta = p1 @ np.linalg.inv(p2)
+                    pred = (delta @ delta @ p1).astype(np.float32)
+                    origin = self.mv.vol_bnds[:, 0].copy()
+                    phase = self.mv._fs_phase
+                    fut = self._sel_pool.submit(
+                        self.mv.frame_bricks_pure, origin, pred,
+                        nxt_batch["depth"], self.dataset.K(), phase)
+                    self._lookahead_sel = (nxt, origin, fut, phase)
             except Exception:
                 pass  # best-effort; the get() path covers misses
         if _st: _st.stop("t_prefetch")

@@ -170,6 +170,81 @@ class ROTracker:
         border = (ii < 1) | (ii > H - 2) | (jj < 1) | (jj > W - 2)
         return jnp.where(border[..., None], 1.0, n)
 
+    def _vertex_normal_at(self, depth, rows, cols):
+        """Vertex [P, 4] / normal [P, 3] evaluated ONLY at the rows x cols
+        tier subgrid, straight from depth — identical math to the
+        full-image _compute_vertex/_compute_normal pair (sample_range == 0
+        case: no per-pixel perturbation, gt == 0), but touching ~2% of the
+        pixels the full-image pass materializes. The pad/border/zero-
+        neighbor rules are reproduced exactly."""
+        K = self.K
+        H, W = self.H, self.W
+        d_full = jnp.where(depth > self.cut_dist, 0.0, depth)
+
+        def vert_at(ii, jj, ivalid, jvalid):
+            """Vertex xyz for row indices ii [R] x col indices jj [C];
+            out-of-image neighbors read as the zero vertex (pad rule)."""
+            iic = jnp.clip(ii, 0, H - 1)
+            jjc = jnp.clip(jj, 0, W - 1)
+            d = d_full[iic][:, jjc]
+            ok = (ivalid[:, None] & jvalid[None, :]) & (d > 0)
+            cz = jnp.where(ok, d, 0.0)
+            cx = (jjc[None, :].astype(jnp.float32) - K[0, 2]) * cz / K[0, 0]
+            cy = (iic[:, None].astype(jnp.float32) - K[1, 2]) * cz / K[1, 1]
+            return cx, cy, cz
+
+        tr_i = rows >= 0  # always true; kept for symmetry
+        tr_j = cols >= 0
+        cx, cy, cz = vert_at(rows, cols, tr_i, tr_j)
+        lx, ly, lz = vert_at(rows, cols - 1, tr_i, cols - 1 >= 0)
+        rx, ry, rz = vert_at(rows, cols + 1, tr_i, cols + 1 <= W - 1)
+        ux, uy, uz = vert_at(rows - 1, cols, rows - 1 >= 0, tr_j)
+        dx_, dy_, dz_ = vert_at(rows + 1, cols, rows + 1 <= H - 1, tr_j)
+
+        hx, hy, hz = lx - rx, ly - ry, lz - rz
+        vx, vy, vz = ux - dx_, uy - dy_, uz - dz_
+        nx = hy * vz - hz * vy
+        ny = hz * vx - hx * vz
+        nz = hx * vy - hy * vx
+        ln = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        inv = 1.0 / jnp.maximum(ln, 1e-12)
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        flip = nz > 0
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+        zero_nb = ((cz == 0) | (lz == 0) | (rz == 0) | (uz == 0)
+                   | (dz_ == 0))
+        nx = jnp.where(zero_nb, 0.0, nx)
+        ny = jnp.where(zero_nb, 0.0, ny)
+        nz = jnp.where(zero_nb, 0.0, nz)
+        border = ((rows < 1) | (rows > H - 2))[:, None] \
+            | ((cols < 1) | (cols > W - 2))[None, :]
+        nx = jnp.where(border, 1.0, nx)
+        ny = jnp.where(border, 1.0, ny)
+        nz = jnp.where(border, 1.0, nz)
+
+        v = jnp.stack([cx, cy, cz, jnp.zeros_like(cz)],
+                      -1).reshape(-1, 4)
+        n = jnp.stack([nx, ny, nz], -1).reshape(-1, 3)
+        return v, n
+
+    def _tier_pixels(self, vn, level, level_index):
+        """(vertex [P,4], normal [P,3], pix_ok [P]) for one tier's pixel
+        subgrid. vn = (vertex|None, normal|None, depth): full-image maps
+        when the perturbed path is active, else computed at the subset."""
+        vertex, normal, depth = vn
+        rows = jnp.arange(self.H // level) * level + level_index
+        cols = jnp.arange(self.W // level) * level + level_index
+        if vertex is None:
+            v, n = self._vertex_normal_at(depth, rows, cols)
+        else:
+            v = vertex[rows][:, cols].reshape(-1, 4)
+            n = normal[rows][:, cols].reshape(-1, 3)
+        pix_ok = (jnp.any(n != 0, axis=-1)
+                  & jnp.any(v[:, :3] != 0, axis=-1))
+        return v, n, pix_ok
+
     def _vox_flat(self, vx, vy, vz):
         """Flat index of voxel (vx, vy, vz) in tsdf_flat (dense reshape(-1)
         or brick-major reshape(-1), per self.brick_layout)."""
@@ -182,7 +257,7 @@ class ROTracker:
     # ------------------------------------------------- candidate evaluation
 
     def _eval_tier(self, table_slab, level, level_index, R, T, ss,
-                   vertex, normal, tsdf_flat, origin):
+                   vn, tsdf_flat, origin):
         """Mean |tsdf - expected| per candidate for one tier.
 
         table_slab: [C, 6]; level: static stride; level_index: traced offset.
@@ -190,12 +265,7 @@ class ROTracker:
         H, W = self.H, self.W
         K = self.K
         dims = self.vol_dims
-        rows = jnp.arange(H // level) * level + level_index
-        cols = jnp.arange(W // level) * level + level_index
-        v = vertex[rows][:, cols].reshape(-1, 4)      # [P, 4]
-        n = normal[rows][:, cols].reshape(-1, 3)      # [P, 3]
-        pix_ok = (jnp.any(n != 0, axis=-1)
-                  & jnp.any(v[:, :3] != 0, axis=-1))
+        v, n, pix_ok = self._tier_pixels(vn, level, level_index)
 
         g = v[:, :3] @ R.T                            # [P, 3] rotated vertex
         gt = v[:, 3]
@@ -284,7 +354,7 @@ class ROTracker:
         return cam[..., 0], cam[..., 1], cam[..., 2]
 
     def _eval_tier_brick(self, table_slab, level, level_index, R, T, ss,
-                         vertex, normal, tsdf_flat, origin):
+                         vn, tsdf_flat, origin):
         """Brick-mode candidate evaluation (see eval_mode doc above).
 
         Identical transform/projection math to _eval_tier; the volume lookup
@@ -299,12 +369,7 @@ class ROTracker:
         side = 2 * r
         n_cells = side ** 3
 
-        rows = jnp.arange(H // level) * level + level_index
-        cols = jnp.arange(W // level) * level + level_index
-        v = vertex[rows][:, cols].reshape(-1, 4)
-        n = normal[rows][:, cols].reshape(-1, 3)
-        pix_ok = (jnp.any(n != 0, axis=-1)
-                  & jnp.any(v[:, :3] != 0, axis=-1))
+        v, n, pix_ok = self._tier_pixels(vn, level, level_index)
 
         g = v[:, :3] @ R.T
         gt = v[:, 3]
@@ -392,7 +457,7 @@ class ROTracker:
         return _guarded_cost(sv, cnt)
 
     def _eval_tier_pallas(self, table_t, level, level_index, R, T, ss,
-                          vertex, normal, tsdf_flat, origin):
+                          vn, tsdf_flat, origin):
         """Pallas-kernel brick evaluation (see ops/pallas/brick_eval.py):
         identical semantics to _eval_tier_brick, but the candidate transform,
         brick lookup (one vreg gather) and reduction run fused in VMEM.
@@ -407,12 +472,7 @@ class ROTracker:
         r = BRICK_SIDE // 2
         side = BRICK_SIDE
 
-        rows = jnp.arange(H // level) * level + level_index
-        cols = jnp.arange(W // level) * level + level_index
-        v = vertex[rows][:, cols].reshape(-1, 4)
-        n = normal[rows][:, cols].reshape(-1, 3)
-        pix_ok = (jnp.any(n != 0, axis=-1)
-                  & jnp.any(v[:, :3] != 0, axis=-1))
+        v, n, pix_ok = self._tier_pixels(vn, level, level_index)
 
         g = v[:, :3] @ R.T
         gt = v[:, 3]
@@ -504,8 +564,13 @@ class ROTracker:
 
         def track(tsdf_flat, origin, c2w_init, depth, key, ss_init):
             vkey, = jax.random.split(key, 1)
-            vertex = self._compute_vertex(depth, vkey)
-            normal = self._compute_normal(vertex)
+            if self.sample_range == 0.0:
+                # no per-pixel perturbation: tiers compute vertex/normal at
+                # their own ~2% pixel subgrids straight from depth
+                vn = (None, None, depth)
+            else:
+                vertex = self._compute_vertex(depth, vkey)
+                vn = (vertex, self._compute_normal(vertex), depth)
 
             R0 = c2w_init[:3, :3]
             T0 = c2w_init[:3, 3]
@@ -531,11 +596,11 @@ class ROTracker:
                                 self.pst_t[cls], slab, axis=0, keepdims=False)
                             value = self._eval_tier_pallas(
                                 table_t, self.class_level[cls], level_index,
-                                R, T, ss, vertex, normal, tsdf_flat, origin)
+                                R, T, ss, vn, tsdf_flat, origin)
                         else:
                             value = eval_fn(
                                 table, self.class_level[cls], level_index,
-                                R, T, ss, vertex, normal, tsdf_flat, origin)
+                                R, T, ss, vn, tsdf_flat, origin)
                         return self._cal_transform(value, table, ss) + (value[0],)
                     return fn
 

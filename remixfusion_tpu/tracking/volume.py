@@ -305,22 +305,34 @@ class MovingVolume:
             trunc_margin=self.trunc_margin, im_h=im_h, im_w=im_w,
             weight_clamp=self.weight_clamp, scale_rgb=scale_rgb)
 
-    def frame_bricks(self, c2w_np, depth_np, K):
-        """Host-side brick selection + bucket sizing for one frame.
-        Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
-        hw = depth_np.shape
+    def _ensure_brick_sel(self, hw, K):
         if not hasattr(self, "_brick_sel") or self._brick_sel_hw != hw:
             self._brick_sel = tsdf_ops.BrickSelector(
                 self.dims, self.brick, self.voxel_size, np.asarray(K),
                 hw[0], hw[1])
             self._brick_sel_hw = hw
-        bricks, _, n_sel = self._brick_sel.select(
-            self.vol_bnds[:, 0], c2w_np, depth_np, self.trunc_margin,
-            self.brick_budget, fs_phase=self._fs_phase,
-            fs_every=self.fs_every)
-        self._fs_phase += 1
+        return self._brick_sel
+
+    def frame_bricks_pure(self, origin, c2w_np, depth_np, K, fs_phase):
+        """Pure brick selection against an explicit origin/phase snapshot —
+        safe to run on a worker thread while the main thread waits on the
+        device (no MovingVolume state is read or written). Returns
+        (bricks host np [bucket, 3], bucket)."""
+        sel = self._ensure_brick_sel(depth_np.shape, K)
+        bricks, _, n_sel = sel.select(
+            origin, c2w_np, depth_np, self.trunc_margin,
+            self.brick_budget, fs_phase=fs_phase, fs_every=self.fs_every)
         bucket = next(b for b in self.brick_buckets if b >= n_sel)
-        return jnp.asarray(bricks[:bucket]), bucket
+        return bricks[:bucket], bucket
+
+    def frame_bricks(self, c2w_np, depth_np, K):
+        """Host-side brick selection + bucket sizing for one frame.
+        Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
+        self._ensure_brick_sel(depth_np.shape, K)
+        bricks, bucket = self.frame_bricks_pure(
+            self.vol_bnds[:, 0], c2w_np, depth_np, K, self._fs_phase)
+        self._fs_phase += 1
+        return jnp.asarray(bricks), bucket
 
     def integrate(self, rgb: jnp.ndarray, depth: jnp.ndarray,
                   K: jnp.ndarray, c2w: jnp.ndarray, obs_weight: float = 1.0,

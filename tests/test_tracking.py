@@ -151,11 +151,12 @@ def test_brick_mode_matches_gather_for_small_search():
     T = jnp.asarray(f["c2w"][:3, 3])
     ss = jnp.full(6, 0.01)
     table = tr_g.pst[2][0]
+    vn = (vertex, normal, depth)
     vg = np.asarray(jax.jit(lambda: tr_g._eval_tier(
-        table, 1, 0, R, T, ss, vertex, normal, tsdf_flat,
+        table, 1, 0, R, T, ss, vn, tsdf_flat,
         mv.state.origin))())
     vb = np.asarray(jax.jit(lambda: tr_b._eval_tier_brick(
-        table, 1, 0, R, T, ss, vertex, normal, tsdf_flat,
+        table, 1, 0, R, T, ss, vn, tsdf_flat,
         mv.state.origin))())
     # identical identity-candidate fitness; near-identical elsewhere (bricks
     # drop only out-of-range pixels, which a 1cm search never produces for
@@ -210,11 +211,12 @@ def test_pallas_brick_eval_matches_xla_brick():
     for cls, lvl in ((0, 4), (2, 1)):
         table = tr.pst[cls][0]
         table_t = tr.pst_t[cls][0]
+        vn = (vertex, normal, depth)
         vb = np.asarray(jax.jit(lambda: tr._eval_tier_brick(
-            table, lvl, 0, R, T, ss, vertex, normal, tsdf_flat,
+            table, lvl, 0, R, T, ss, vn, tsdf_flat,
             mv.state.origin))())
         vp = np.asarray(jax.jit(lambda: tr._eval_tier_pallas(
-            table_t, lvl, 0, R, T, ss, vertex, normal, tsdf_flat,
+            table_t, lvl, 0, R, T, ss, vn, tsdf_flat,
             mv.state.origin))())
         assert vp.shape == vb.shape
         # boundary voxels can round to an adjacent cell when the offset is
@@ -245,3 +247,30 @@ def test_pallas_mode_tracks():
     err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
     assert np.isfinite(out).all()
     assert err_after < err_before * 0.85
+
+
+def test_subset_vertex_normal_matches_full_image():
+    """The per-tier vertex/normal subgrid computation (sample_range == 0
+    fast path) must reproduce the full-image pipeline at every tier."""
+    import jax.numpy as jnp
+    cfg = tiny_config(RO={"depth_level": [4, 2, 1]})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=2)
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                   brick_layout=mv.brick_layout())
+    assert tr.sample_range == 0.0
+    f = ds[1]
+    depth = jnp.asarray(f["depth"])
+    vertex = tr._compute_vertex(depth, jax.random.PRNGKey(0))
+    normal = tr._compute_normal(vertex)
+    for level in (4, 2, 1):
+        for li in (0, 1) if level > 1 else (0,):
+            v_f, n_f, ok_f = tr._tier_pixels((vertex, normal, depth),
+                                             level, jnp.asarray(li))
+            v_s, n_s, ok_s = tr._tier_pixels((None, None, depth),
+                                             level, jnp.asarray(li))
+            np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_s),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(n_f), np.asarray(n_s),
+                                       atol=1e-5)
+            assert np.array_equal(np.asarray(ok_f), np.asarray(ok_s))
