@@ -141,15 +141,3 @@ class DeviceKeyFrameStore:
             self.rays, dep_dev, rgb_dev, dirs_flat,
             jnp.asarray(len(self.frame_ids), jnp.int32), key)
         self.frame_ids.append(int(frame_id))
-
-    def sample_global_rays(self, bs: int):
-        """Host-path compatibility shim (legacy _assemble_batches callers):
-        reads the device store back and samples uniformly with replacement.
-        The hot loop samples in-program instead (mapper.map_step_dev)."""
-        import numpy as np
-        num_kf = len(self.frame_ids)
-        pool = np.asarray(self.rays[:num_kf * self.R])
-        rng = np.random.default_rng(0)
-        idxs = rng.integers(0, max(num_kf, 1) * self.R, bs)
-        fids = np.asarray(self.frame_ids)[idxs // self.R]
-        return pool[idxs], fids

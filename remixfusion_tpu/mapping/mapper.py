@@ -9,10 +9,10 @@ TPU-native rebuild of the reference Mapper (mp_slam/mapper.py:191-950):
     decoders) with the rendering losses + TV smoothness, run as ONE jitted
     lax.scan (the reference loops on the host with an optimizer step per
     iteration, mapper.py:392-423).
-  - `ba_step`: `mapping.BA_iters` iterations optimizing the RBA pose MLP
-    through the same rendering loss with explicit-TSDF clamping
-    (mapper.py:425-520), again one jitted scan; returns the refined keyframe
-    poses for host write-back.
+  - `ba_step_dev`: `mapping.BA_iters` iterations optimizing the RBA pose
+    MLP through the same rendering loss with explicit-TSDF clamping
+    (mapper.py:425-520), again one jitted scan with in-program ray
+    sampling; returns the refined keyframe poses for host write-back.
   - `first_frame_step`: the first-frame warmup (mapper.py:284-364) as one
     scan over `first_iters` iterations.
 
@@ -270,55 +270,6 @@ class Mapper:
             jnp.asarray(rays_d_b), key)
         return params, losses
 
-    # ------------------------------------------- fused mapping (in-jit rays)
-
-    def _build_map_step_fused(self, n_iters: int, n_rays: int):
-        """Like _build_map_step, but camera-frame rays are rotated to world
-        INSIDE the program from a pose array (non-differentiated) with the
-        current keyframe's pose taken from the RBA net (detached) — exactly
-        the reference's global_mapping pose handling (mapper.py:385-390).
-        Eliminates the per-round rba readback and host einsums."""
-        scene = self.scene
-        tx = self.map_tx
-
-        def loss_fn(params, buffers, rays, ids, poses_all, key):
-            per_ray = poses_all[ids]
-            dirs = rays[:, :3]
-            rays_d = jnp.einsum("ni,nji->nj", dirs, per_ray[:, :3, :3],
-                                precision=jax.lax.Precision.HIGHEST)
-            rays_o = per_ray[:, :3, 3]
-            k1, k2 = jax.random.split(key)
-            ret = scene.mapping_losses(
-                params, buffers, k1, rays_o, rays_d,
-                rays[:, 3:6], rays[:, 6:7])
-            return self._weighted_loss(ret, True, params, buffers, k2)
-
-        @partial(jax.jit, donate_argnums=(0, 2))
-        def step(params, buffers, opt_state, ray_batches, id_batches,
-                 kf_poses, cur_kf_id, key):
-            # poses: tracker/BA estimates with the current keyframe's pose
-            # refreshed from the (detached) RBA forward
-            cur_pose = scene.rba(jax.lax.stop_gradient(params.rba),
-                                 buffers.rba, cur_kf_id[None])[0]
-            poses_all = jax.lax.stop_gradient(
-                jnp.asarray(kf_poses).at[cur_kf_id].set(cur_pose))
-
-            def body(carry, inp):
-                params, opt_state = carry
-                rays, ids, k = inp
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    params, buffers, rays, ids, poses_all, k)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            keys = jax.random.split(key, n_iters)
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (ray_batches, id_batches, keys))
-            return params, opt_state, losses
-
-        return step
-
     # ---------------------------------------- device-sampled mapping/BA
 
     def _sampler(self, R, sample, n_cur):
@@ -344,7 +295,7 @@ class Mapper:
         return sample_batch
 
     def _build_map_step_dev(self, n_iters: int, n_cur: int, R: int):
-        """map_step_fused with the ray batches sampled INSIDE the program
+        """Mapping step with the ray batches sampled INSIDE the program
         from the device keyframe store + the staged current frame — a
         mapping round uploads only kf_poses and scalars."""
         scene = self.scene
@@ -461,73 +412,6 @@ class Mapper:
                 params, buffers, self.rba_opt_state, kf_store.rays,
                 jnp.asarray(n_kf, jnp.int32), dirs_flat, dep, rgb,
                 jnp.asarray(cur_kf_id, jnp.int32), key)
-        return params, losses, poses_all
-
-    def map_step_fused(self, params, buffers, ray_batches, id_batches,
-                       kf_poses, cur_kf_id, key):
-        """ray_batches [I, N, 7] camera-frame; id_batches [I, N] keyframe
-        ids; kf_poses [num_kf, 4, 4] (stale entry at cur_kf_id is replaced
-        in-program by the RBA forward)."""
-        shape = (int(ray_batches.shape[0]), int(ray_batches.shape[1]))
-        if shape not in self._map_fused_fns:
-            self._map_fused_fns[shape] = self._build_map_step_fused(*shape)
-        params, self.map_opt_state, losses = self._map_fused_fns[shape](
-            params, buffers, self.map_opt_state, jnp.asarray(ray_batches),
-            jnp.asarray(id_batches), jnp.asarray(kf_poses),
-            jnp.asarray(cur_kf_id, jnp.int32), key)
-        return params, losses
-
-    # ------------------------------------------------------------- BA step
-
-    def _build_ba_step(self, n_iters: int, n_rays: int):
-        scene = self.scene
-        tx = self.rba_tx
-        num_kf = scene.num_kf
-        all_ids = jnp.arange(num_kf)
-
-        def loss_fn(params, buffers, rays, ids, key):
-            poses_all = scene.rba(params.rba, buffers.rba, all_ids)
-            per_ray = poses_all[ids]  # [N, 4, 4]
-            dirs = rays[:, :3]
-            rays_d = jnp.einsum("ni,nji->nj", dirs, per_ray[:, :3, :3],
-                                precision=jax.lax.Precision.HIGHEST)
-            rays_o = per_ray[:, :3, 3]
-            k1, k2 = jax.random.split(key)
-            ret = scene.mapping_losses(
-                params, buffers, k1, rays_o, rays_d,
-                rays[:, 3:6], rays[:, 6:7], clamp=True)
-            loss = self._weighted_loss(ret, True, params, buffers, k2)
-            return loss
-
-        @partial(jax.jit, donate_argnums=(0, 2))
-        def step(params, buffers, opt_state, ray_batches, id_batches, key):
-            def body(carry, inp):
-                params, opt_state = carry
-                rays, ids, k = inp
-                loss, grads = jax.value_and_grad(loss_fn)(
-                    params, buffers, rays, ids, k)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            keys = jax.random.split(key, n_iters)
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), (ray_batches, id_batches, keys))
-            poses_all = scene.rba(params.rba, buffers.rba, all_ids)
-            return params, opt_state, losses, poses_all
-
-        return step
-
-    def ba_step(self, params, buffers, ray_batches, id_batches, key):
-        """ray_batches: [I, N, 7] camera-frame rays; id_batches: [I, N] int32
-        keyframe indices (current-frame rays use the current keyframe id).
-        Returns (params, losses[I], poses_all [num_kf, 4, 4])."""
-        shape = (int(ray_batches.shape[0]), int(ray_batches.shape[1]))
-        if shape not in self._ba_step_fns:
-            self._ba_step_fns[shape] = self._build_ba_step(*shape)
-        params, self.rba_opt_state, losses, poses_all = self._ba_step_fns[shape](
-            params, buffers, self.rba_opt_state,
-            jnp.asarray(ray_batches), jnp.asarray(id_batches), key)
         return params, losses, poses_all
 
     # --------------------------------------------------- ray batch assembly

@@ -237,6 +237,85 @@ class TriplaneEncoding:
         return jnp.concatenate(feats, axis=-1)
 
 
+class CPGridEncoding:
+    """CP-factorized multiresolution grid encoding evaluated on the MXU.
+
+    The TPU-first residual field. Per level l, three trainable 1D factor
+    tables A_l, B_l, C_l of shape [R_l, C_l]; the feature of a point is the
+    channelwise product A_l(x) * B_l(y) * C_l(z) (CP / canonical-polyadic
+    decomposition of a 3D feature volume, TensoRF-style), concatenated over
+    levels. Each 1D interpolation is computed for the whole query batch as
+    ONE dense matmul  tent(pos) @ table  where tent(pos)[n, i] =
+    max(0, 1 - |pos_n - i|) is the two-nonzero linear-interpolation weight
+    row — so both the forward AND the backward (grad wrt tables = tent^T @ g,
+    grad wrt pos analytic through the tent) are MXU matmuls with zero
+    gather/scatter rows. On TPU, where table gathers are per-row
+    latency-priced and scatter-add backward dominates trainable-grid
+    encoders (measured here: HashGrid ~3.4x, Triplane ~10x the map-step
+    wall of this encoder), this turns the residual field from the
+    bottleneck into noise.
+
+    Replaces the reference's tcnn HashGrid residual encoding
+    (model/encodings.py:39-50) at equivalent quality class — see the
+    A/B table in BASELINE.md (ATE / mesh F1 / PSNR vs HashGrid and
+    Triplane on the synthetic verify scene).
+    """
+
+    def __init__(self, n_levels: int = 4, level_dim: int = 0,
+                 base_resolution: int = 48, desired_resolution: int = 640):
+        self.n_levels = n_levels
+        top = max(min(desired_resolution, 800), base_resolution + 1)
+        if n_levels > 1:
+            growth = (top / base_resolution) ** (1.0 / (n_levels - 1))
+        else:
+            growth = 1.0
+        self.resolutions = [int(round(base_resolution * growth ** l))
+                            for l in range(n_levels)]
+        # wider channel banks at finer levels (capacity where detail lives)
+        base_ch = [16, 32, 48, 48, 64, 64]
+        self.channels = [base_ch[min(l, len(base_ch) - 1)]
+                         for l in range(n_levels)]
+        self.out_dim = sum(self.channels)
+
+    def init(self, key):
+        params = {}
+        keys = jax.random.split(key, 3 * self.n_levels)
+        ki = 0
+        for l, (res, ch) in enumerate(zip(self.resolutions, self.channels)):
+            for a in range(3):
+                # x/y factors near 1, z factor small: products start ~1e-2
+                # scale (like tcnn's small-table init) with healthy gradient
+                # flow into the small factor (grad wrt C ~ A*B ~ 1).
+                if a < 2:
+                    params[f"fac_{l}_{a}"] = 1.0 + jax.random.uniform(
+                        keys[ki], (res, ch), jnp.float32, -0.05, 0.05)
+                else:
+                    params[f"fac_{l}_{a}"] = jax.random.uniform(
+                        keys[ki], (res, ch), jnp.float32, -1e-2, 1e-2)
+                ki += 1
+        return params
+
+    def __call__(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        """x: [N, 3] in [0, 1] -> [N, sum(channels)]."""
+        feats = []
+        for l, (res, ch) in enumerate(zip(self.resolutions, self.channels)):
+            pos = jnp.clip(x * (res - 1), 0.0, float(res - 1))  # [N, 3]
+            idx = jnp.arange(res, dtype=jnp.float32)
+            prod = None
+            for a in range(3):
+                # [N, res] tent rows; f32 construction (bf16 would quantize
+                # the POSITION), bf16 operand (weights in [0,1] — 0.4% err)
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, a:a + 1]
+                                                   - idx[None, :]))
+                f = jax.lax.dot(
+                    w.astype(jnp.bfloat16),
+                    params[f"fac_{l}_{a}"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+                prod = f if prod is None else prod * f
+            feats.append(prod)
+        return jnp.concatenate(feats, axis=-1)
+
+
 class OneBlobEncoding:
     """OneBlob encoding (n_bins per input dim).
 
@@ -352,7 +431,10 @@ def get_encoder(
     """Encoder factory with the reference's name-matching rules
     (model/encodings.py:6-103). Returns (encoder, out_dim)."""
     enc = encoding.lower()
-    if "triplane" in enc:
+    if "cpgrid" in enc or enc == "cp":
+        e = CPGridEncoding(n_levels=4, base_resolution=48,
+                           desired_resolution=min(desired_resolution, 800))
+    elif "triplane" in enc:
         e = TriplaneEncoding(n_levels=3, level_dim=4,
                              base_resolution=64,
                              desired_resolution=min(desired_resolution, 1024))

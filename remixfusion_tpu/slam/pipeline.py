@@ -607,33 +607,6 @@ class RemixFusionTPU:
 
     # ------------------------------------------------------------ mapping
 
-    def _assemble_batches(self, batch, cur_frame_id, n_iters, for_ba):
-        """Sample ray batches for one mapping/BA round.
-
-        Returns (rays [I,N,7], ids [I,N] kf indices, cur_kf_id)."""
-        kf_every = self.config["mapping"]["keyframe_every"]
-        sample = self.config["mapping"]["sample"]
-        cur_kf_id = cur_frame_id // kf_every
-        n_cur = self.mapper.current_ray_budget(len(self.kfdb))
-
-        dirs = np.asarray(batch["direction"]).reshape(-1, 3)
-        rgb = np.asarray(batch["rgb"]).reshape(-1, 3)
-        depth = np.asarray(batch["depth"]).reshape(-1)
-
-        # One vectorized draw for all iterations (the per-iteration Python
-        # loop cost ~100 ms/round on the 1-core host).
-        g_rays, g_fids = self.kfdb.sample_global_rays(sample * n_iters)
-        g_rays = g_rays.reshape(n_iters, sample, 7)
-        g_ids = (g_fids // kf_every).astype(np.int32).reshape(n_iters, sample)
-        idx = self._np_rng.integers(0, len(depth), (n_iters, n_cur))
-        c_rays = np.concatenate(
-            [dirs[idx], rgb[idx], depth[idx][..., None]],
-            -1).astype(np.float32)
-        rays_b = np.concatenate([g_rays, c_rays], 1)
-        ids_b = np.concatenate(
-            [g_ids, np.full((n_iters, n_cur), cur_kf_id, np.int32)], 1)
-        return rays_b, ids_b, cur_kf_id
-
     def global_mapping(self, batch, cur_frame_id):
         """(reference mapper.py:366-423). Poses ride to the device once; the
         current keyframe's pose comes from the (detached) RBA forward inside

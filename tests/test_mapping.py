@@ -106,18 +106,20 @@ def test_ba_step_refines_poses():
     buffers = buffers._replace(rba=scene.rba.update_init_pose(
         buffers.rba, 1, jnp.asarray(f1["c2w"])))
 
-    rng = np.random.default_rng(1)
-    n_iters, n_rays = 2, 64
-    batches, idb = [], []
-    for _ in range(n_iters):
-        r0 = sample_frame_rays(ds, f0, n_rays // 2, rng)
-        r1 = sample_frame_rays(ds, f1, n_rays // 2, rng)
-        batches.append(np.concatenate([r0, r1]))
-        idb.append(np.concatenate([np.zeros(n_rays // 2, np.int32),
-                                   np.ones(n_rays // 2, np.int32)]))
-    params2, losses, poses_all = mapper.ba_step(
-        params, buffers, np.stack(batches), np.stack(idb),
-        jax.random.PRNGKey(2))
+    # device keyframe store with both keyframes (the shipped BA path
+    # samples its ray batches in-program from this store)
+    from remixfusion_tpu.mapping.keyframe import DeviceKeyFrameStore
+    kfdb = DeviceKeyFrameStore(8, 64, cfg["cam"]["depth_trunc"], 0)
+    dirs_flat = jnp.asarray(
+        np.asarray(f0["direction"], np.float32).reshape(-1, 3))
+    for slot, f in ((0, f0), (2, f1)):
+        kfdb.add_keyframe(slot, jnp.asarray(f["depth"]),
+                          jnp.asarray(f["rgb"]), dirs_flat,
+                          jax.random.PRNGKey(slot))
+    params2, losses, poses_all = mapper.ba_step_dev(
+        params, buffers, kfdb, len(kfdb), dirs_flat,
+        jnp.asarray(f1["depth"]), jnp.asarray(f1["rgb"]), 1,
+        jax.random.PRNGKey(2), n_iters=2, n_cur=16)
     poses_all = np.asarray(poses_all)
     assert poses_all.shape == (8, 4, 4)
     assert np.isfinite(np.asarray(losses)).all()
