@@ -38,10 +38,21 @@ from remixfusion_tpu.ops import tsdf as tsdf_ops
 
 @jax.jit
 def _pack_gbq(gbv: jnp.ndarray, gbw: jnp.ndarray) -> jnp.ndarray:
-    """Pair-packed query mirror of the explicit grid: [R^3, 10] rows of
-    (tsdf, rgb, w) for flat voxel i and i+1 (see SceneBuffers.gbq)."""
+    """Oct-packed query mirror of the explicit grid: [R^3, 40] rows holding
+    the (tsdf, rgb, w) of all 8 trilinear corners of cell i — corner order
+    (dx, dy, dz) = 000, 001, 010, 011, 100, 101, 110, 111. A trilinear
+    query is then ONE gather row per point (TPU gathers are per-row
+    latency-priced; measured 1.8x over the previous 4-row pair packing).
+    See SceneBuffers.gbq."""
+    R = gbv.shape[0]
     flat = jnp.concatenate([gbv.reshape(-1, 4), gbw.reshape(-1, 1)], -1)
-    return jnp.concatenate([flat, jnp.roll(flat, -1, axis=0)], -1)
+    parts = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
+                                      axis=0))
+    return jnp.concatenate(parts, -1)
 
 
 def _label_tree(params: SceneParams, hash_label, decoder_label, rba_label):

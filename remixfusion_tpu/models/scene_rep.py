@@ -50,12 +50,12 @@ class SceneBuffers(NamedTuple):
     gbv: jnp.ndarray       # [R, R, R, 4] tsdf + rgb (explicit global volume)
     gbw: jnp.ndarray       # [R, R, R] fusion weights
     rba: RBABuffers
-    # Derived pair-packed query mirror [R^3, 10]: row i = (tsdf,rgb,w) of
-    # flat voxel i followed by voxel i+1 (z-adjacent). Trilinear queries
-    # then need 4 gathers of 10-wide rows instead of 8+8 narrow ones —
-    # gathers on TPU are per-row latency-priced. Rebuilt after every
-    # explicit-grid update (see Mapper._with_gbq); None = fall back to the
-    # direct 8-corner path (mesh/eval tools, tests).
+    # Derived oct-packed query mirror [R^3, 40]: row i = (tsdf,rgb,w) of
+    # all 8 trilinear corners of cell i (see mapper._pack_gbq). Trilinear
+    # queries then cost ONE gather row per point instead of 8+8 narrow
+    # ones — gathers on TPU are per-row latency-priced. Rebuilt after
+    # every explicit-grid update; None = fall back to the direct 8-corner
+    # path (mesh/eval tools, tests).
     gbq: jnp.ndarray | None = None
 
 
@@ -109,24 +109,26 @@ class SceneRepresentation:
 
     def query_gbvw_fast(self, buffers: "SceneBuffers",
                         pts: jnp.ndarray) -> jnp.ndarray:
-        """[N, 5] (tsdf, r, g, b, w) trilinear query through the pair-packed
-        mirror when available (4 gathers), else the direct path."""
+        """[N, 5] (tsdf, r, g, b, w) trilinear query through the oct-packed
+        mirror when available (ONE gather row/point), else the direct
+        path."""
         if buffers.gbq is not None:
             R = self.gbv_resolution
             pos = pts * R
             low = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
             frac = jnp.clip(pos - low.astype(jnp.float32), 0.0, 1.0)
-            sx, sy = R * R, R
-            base = low[:, 0] * sx + low[:, 1] * sy + low[:, 2]
-            fz = frac[:, 2]
+            base = low[:, 0] * (R * R) + low[:, 1] * R + low[:, 2]
+            row = buffers.gbq[base]                 # [N, 40] = 8 corners x 5
             out = jnp.zeros((pts.shape[0], 5), jnp.float32)
+            k = 0
             for dx in (0, 1):
                 for dy in (0, 1):
-                    idx = base + dx * sx + dy * sy
-                    w = ((frac[:, 0] if dx else 1 - frac[:, 0])
-                         * (frac[:, 1] if dy else 1 - frac[:, 1]))
-                    row = buffers.gbq[idx]          # [N, 10] = z0 | z1
-                    out = out + (w * (1 - fz))[:, None] * row[:, :5]                               + (w * fz)[:, None] * row[:, 5:]
+                    for dz in (0, 1):
+                        w = ((frac[:, 0] if dx else 1 - frac[:, 0])
+                             * (frac[:, 1] if dy else 1 - frac[:, 1])
+                             * (frac[:, 2] if dz else 1 - frac[:, 2]))
+                        out = out + w[:, None] * row[:, 5 * k: 5 * k + 5]
+                        k += 1
             return out
         v = self.query_gbv(buffers.gbv, pts)
         w = self.query_gbw(buffers.gbw, pts)

@@ -456,7 +456,7 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
 
     Same per-voxel math as fuse_frame(global_mode=True) (reference
     mapper.py:37-158: overflow skip, de-integration reset, color fused
-    everywhere in band), but scanning only the host-selected tiles whose
+    everywhere in band), but touching only the host-selected tiles whose
     AABB intersects the frustum within the frame's depth range — the update
     mask is provably False outside them (update requires in_image and
     sdf >= -trunc, bounding camera z by lam_max * (dmax + trunc)), so the
@@ -464,10 +464,37 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
     image-gather traffic. Voxel -> world uses the normalized global mapping
     bound_min + idx/R * extent (anisotropic extents supported).
 
+    Execution shape: the dense grid is transposed in-program to a
+    tile-major view [(R/t)^3, t^3, C]; the selected tiles move as ONE
+    budget-row gather, the per-voxel update runs fully vectorized (all the
+    image gathers issue in parallel — a scan over tiles serializes them on
+    the carried grid, measured ~2.3x slower), and ONE unique-index
+    scatter + inverse transpose write the result back.
+
     Returns integ(gbv [R,R,R,4], gbw [R,R,R], offsets [budget, 3] (voxel
     offsets, -1 rows padded), depth, rgb, K, c2w, bound [3,2], obs_weight).
     """
     t = int(tile)
+    T = R // t
+    NT = T ** 3
+    t3 = t ** 3
+    import numpy as np
+    wi = np.arange(t3)
+    ii = jnp.asarray((wi // (t * t))[None], jnp.float32)   # [1, t3]
+    jj = jnp.asarray(((wi // t) % t)[None], jnp.float32)
+    kk = jnp.asarray((wi % t)[None], jnp.float32)
+
+    def to_tm(a):
+        ch = a.shape[3:]
+        x = a.reshape((T, t, T, t, T, t) + ch)
+        perm = (0, 2, 4, 1, 3, 5) + tuple(6 + i for i in range(len(ch)))
+        return jnp.transpose(x, perm).reshape((NT, t3) + ch)
+
+    def from_tm(a):
+        ch = a.shape[2:]
+        x = a.reshape((T, T, T, t, t, t) + ch)
+        perm = (0, 3, 1, 4, 2, 5) + tuple(6 + i for i in range(len(ch)))
+        return jnp.transpose(x, perm).reshape((R, R, R) + ch)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def integ(gbv, gbw, offsets, depth_im, color_im, K, c2w, bound,
@@ -478,69 +505,66 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
         scale = bound[:, 1] - bound[:, 0]
         img_pack = jnp.concatenate(
             [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
-        ix = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 0)
-        iy = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 1)
-        iz = jax.lax.broadcasted_iota(jnp.float32, (t, t, t), 2)
 
-        def body(carry, off):
-            gbv, gbw = carry
-            valid_tile = off[0] >= 0
-            o = jnp.maximum(off, 0)
-            vslice = jax.lax.dynamic_slice(
-                gbv, (o[0], o[1], o[2], 0), (t, t, t, 4))
-            ws = jax.lax.dynamic_slice(gbw, (o[0], o[1], o[2]), (t, t, t))
-            ts, cs = vslice[..., 0], vslice[..., 1:]
+        v_tm = to_tm(gbv)
+        w_tm = to_tm(gbw)
+        B = offsets.shape[0]
+        valid_tile = offsets[:, 0] >= 0
+        o = jnp.maximum(offsets, 0)
+        tid = ((o[:, 0] // t) * T + o[:, 1] // t) * T + o[:, 2] // t
+        ids = jnp.where(valid_tile, tid, NT + jnp.arange(B, dtype=tid.dtype))
+        vs = v_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3, 4]
+        ws = w_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3]
+        ts, cs = vs[..., 0], vs[..., 1:]
 
-            inv_r = jnp.float32(1.0 / R)
-            # literal mirror of fuse_frame's origin+idx then (p-origin)
-            # round-trip so boundary pixels round identically
-            px = origin[0] + ((origin[0] + (o[0].astype(jnp.float32) + ix))
-                              - origin[0]) * inv_r * scale[0]
-            py = origin[1] + ((origin[1] + (o[1].astype(jnp.float32) + iy))
-                              - origin[1]) * inv_r * scale[1]
-            pz = origin[2] + ((origin[2] + (o[2].astype(jnp.float32) + iz))
-                              - origin[2]) * inv_r * scale[2]
-            cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
-            in_front = cam_z > 0
-            in_image = ((pix_x >= 0) & (pix_x < im_w)
-                        & (pix_y >= 0) & (pix_y < im_h))
-            pxc = jnp.clip(pix_x, 0, im_w - 1)
-            pyc = jnp.clip(pix_y, 0, im_h - 1)
-            gathered = img_pack[(pyc * im_w + pxc).reshape(-1)]
-            depth_val = gathered[:, 0].reshape(t, t, t)
-            new_c = gathered[:, 1:].reshape(t, t, t, 3)
+        inv_r = jnp.float32(1.0 / R)
+        of = o.astype(jnp.float32)
+        # literal mirror of fuse_frame's origin+idx then (p-origin)
+        # round-trip so boundary pixels round identically
+        px = origin[0] + ((origin[0] + (of[:, 0:1] + ii))
+                          - origin[0]) * inv_r * scale[0]
+        py = origin[1] + ((origin[1] + (of[:, 1:2] + jj))
+                          - origin[1]) * inv_r * scale[1]
+        pz = origin[2] + ((origin[2] + (of[:, 2:3] + kk))
+                          - origin[2]) * inv_r * scale[2]
+        cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
+        in_front = cam_z > 0
+        in_image = ((pix_x >= 0) & (pix_x < im_w)
+                    & (pix_y >= 0) & (pix_y < im_h))
+        pxc = jnp.clip(pix_x, 0, im_w - 1)
+        pyc = jnp.clip(pix_y, 0, im_h - 1)
+        gathered = img_pack[(pyc * im_w + pxc).reshape(-1)]
+        depth_val = gathered[:, 0].reshape(B, t3)
+        new_c = gathered[:, 1:].reshape(B, t3, 3)
 
-            vec_x = (pxc.astype(jnp.float32) - K[0, 2]) / K[0, 0]
-            vec_y = (pyc.astype(jnp.float32) - K[1, 2]) / K[1, 1]
-            lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
-            cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y
-                                + cam_z * cam_z)
-            sdf = -((cam_norm / lam) - depth_val)
-            update = (valid_tile & in_front & in_image & (depth_val > 0)
-                      & (sdf >= -trunc_margin))
+        vec_x = (pxc.astype(jnp.float32) - K[0, 2]) / K[0, 0]
+        vec_y = (pyc.astype(jnp.float32) - K[1, 2]) / K[1, 1]
+        lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
+        cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y
+                            + cam_z * cam_z)
+        sdf = -((cam_norm / lam) - depth_val)
+        update = (valid_tile[:, None] & in_front & in_image
+                  & (depth_val > 0) & (sdf >= -trunc_margin))
 
-            dist = jnp.minimum(1.0, sdf / trunc_margin)
-            w_new = ws + obs_weight
-            inv = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
-            new_tsdf = (ts * ws + obs_weight * dist) * inv
-            fused_c = jnp.minimum(
-                (cs * ws[..., None] + obs_weight * new_c) * inv[..., None],
-                1.0)
-            deint = (obs_weight < 0) & (ws <= 1) & update
-            do_upd = update & ~(new_tsdf > 1.0) & ~deint
-            ts = jnp.where(deint, 1.0, jnp.where(do_upd, new_tsdf, ts))
-            ws = jnp.where(deint, 0.0, jnp.where(do_upd, w_new, ws))
-            cs = jnp.where(deint[..., None], 0.0,
-                           jnp.where(do_upd[..., None], fused_c, cs))
+        dist = jnp.minimum(1.0, sdf / trunc_margin)
+        w_new = ws + obs_weight
+        inv = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
+        new_tsdf = (ts * ws + obs_weight * dist) * inv
+        fused_c = jnp.minimum(
+            (cs * ws[..., None] + obs_weight * new_c) * inv[..., None],
+            1.0)
+        deint = (obs_weight < 0) & (ws <= 1) & update
+        do_upd = update & ~(new_tsdf > 1.0) & ~deint
+        ts = jnp.where(deint, 1.0, jnp.where(do_upd, new_tsdf, ts))
+        ws = jnp.where(deint, 0.0, jnp.where(do_upd, w_new, ws))
+        cs = jnp.where(deint[..., None], 0.0,
+                       jnp.where(do_upd[..., None], fused_c, cs))
 
-            vslice = jnp.concatenate([ts[..., None], cs], -1)
-            gbv = jax.lax.dynamic_update_slice(
-                gbv, vslice, (o[0], o[1], o[2], 0))
-            gbw = jax.lax.dynamic_update_slice(gbw, ws, (o[0], o[1], o[2]))
-            return (gbv, gbw), None
-
-        (gbv, gbw), _ = jax.lax.scan(body, (gbv, gbw), offsets)
-        return gbv, gbw
+        v_tm = v_tm.at[ids].set(
+            jnp.concatenate([ts[..., None], cs], -1),
+            mode="drop", unique_indices=True)
+        w_tm = w_tm.at[ids].set(ws, mode="drop", unique_indices=True)
+        return from_tm(v_tm), from_tm(w_tm)
 
     return integ
 

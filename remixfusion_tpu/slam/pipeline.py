@@ -92,10 +92,13 @@ class RemixFusionTPU:
 
         init_pose = self._first_pose(self.dataset[0])
         self.mv = MovingVolume(config, init_pose)
+        # The tracker reads a DENSE [X, Y, Z] tsdf view (one in-program
+        # transpose of the brick-major fusion state per frame): dense
+        # z-runs let the per-pixel window fetch use side^2 slice-gathers
+        # instead of side^3 element gathers (rotracker._fetch_windows).
         self.tracker = ROTracker(
             config, self.dataset.H, self.dataset.W, self.dataset.K(),
-            self.mv.dims, self.mv.voxel_size,
-            brick_layout=self.mv.brick_layout())
+            self.mv.dims, self.mv.voxel_size, brick_layout=None)
         self.K_dev = jnp.asarray(self.dataset.K())
         # static per-pixel camera-frame ray direction grid [H*W, 3]
         self.dirs_dev = jnp.asarray(
@@ -419,9 +422,20 @@ class RemixFusionTPU:
         if not hasattr(self, "_track_jits"):
             self._track_jits = {}
         if tkey not in self._track_jits:
+            if mv.brick:
+                from remixfusion_tpu.ops.tsdf import bm_to_dense
+                b = mv.brick
+                dims = mv.dims
+
+                def conv(t):
+                    return bm_to_dense(t.reshape(-1, b ** 3),
+                                       dims, b).reshape(-1)
+            else:
+                def conv(t):
+                    return t.reshape(-1)
             self._track_jits[tkey] = jax.jit(
                 lambda tsdf, origin, init_pose, depth, key, ss:
-                tracker._track(tsdf.reshape(-1), origin, init_pose, depth,
+                tracker._track(conv(tsdf), origin, init_pose, depth,
                                key, ss))
         track = self._track_jits[tkey]
 

@@ -254,6 +254,33 @@ class ROTracker:
         from remixfusion_tpu.ops.tsdf import bm_vox_flat
         return bm_vox_flat(self.brick_layout, vx, vy, vz)
 
+    def _fetch_windows(self, tsdf_flat, base, side: int):
+        """Per-pixel TSDF windows [P, side^3] around base [P, 3], cell
+        order (dx*side + dy)*side + dz.
+
+        Dense layout: side^2 z-RUN slice-gathers per pixel (each run of
+        `side` cells is contiguous in z), so a 4^3 window costs 16 gather
+        rows instead of 64 element gathers — TPU gathers are per-row
+        latency-priced. Brick-major layout: per-cell fallback."""
+        if self.brick_layout is None:
+            X, Y, Z = self.vol_dims
+            d = jnp.arange(side)
+            ox = jnp.repeat(d, side)[None, :]          # [1, side^2]
+            oy = jnp.tile(d, side)[None, :]
+            starts = ((base[:, 0:1] + ox) * (Y * Z)
+                      + (base[:, 1:2] + oy) * Z + base[:, 2:3])
+            runs = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(tsdf_flat, (s,), (side,))
+            )(starts.reshape(-1))                      # [P*side^2, side]
+            return runs.reshape(-1, side ** 3)
+        d = jnp.arange(side)
+        ox = jnp.repeat(d, side * side)
+        oy = jnp.tile(jnp.repeat(d, side), side)
+        oz = jnp.tile(d, side * side)
+        return tsdf_flat[self._vox_flat(
+            base[:, 0:1] + ox[None, :], base[:, 1:2] + oy[None, :],
+            base[:, 2:3] + oz[None, :])]
+
     # ------------------------------------------------- candidate evaluation
 
     def _eval_tier(self, table_slab, level, level_index, R, T, ss,
@@ -380,16 +407,7 @@ class ROTracker:
         v0 = jnp.round((p0 - origin[None, :]) * inv_vox).astype(jnp.int32)
         base = jnp.clip(v0 - r, 1, jnp.asarray(dims, jnp.int32) - 1 - side)
 
-        # Gather the bricks: [P, n_cells] (explicit per-cell coordinates so
-        # the same code serves dense and brick-major volume layouts)
-        dzx = jnp.arange(side)
-        ox_s = jnp.repeat(dzx, side * side)
-        oy_s = jnp.tile(jnp.repeat(dzx, side), side)
-        oz_s = jnp.tile(dzx, side * side)
-        cell_idx = self._vox_flat(base[:, 0:1] + ox_s[None, :],
-                                  base[:, 1:2] + oy_s[None, :],
-                                  base[:, 2:3] + oz_s[None, :])
-        brick = tsdf_flat[cell_idx]  # [P, n_cells]
+        brick = self._fetch_windows(tsdf_flat, base, side)  # [P, n_cells]
 
         t = table_slab[:, :3] * ss[None, :3]
         qv = table_slab[:, 3:] * ss[None, 3:]
@@ -482,13 +500,7 @@ class ROTracker:
         v0 = jnp.round((p0 - origin[None, :]) * inv_vox).astype(jnp.int32)
         base = jnp.clip(v0 - r, 1, jnp.asarray(dims, jnp.int32) - 1 - side)
 
-        dzx = jnp.arange(side)
-        ox_s = jnp.repeat(dzx, side * side)
-        oy_s = jnp.tile(jnp.repeat(dzx, side), side)
-        oz_s = jnp.tile(dzx, side * side)
-        bricks = tsdf_flat[self._vox_flat(
-            base[:, 0:1] + ox_s[None, :], base[:, 1:2] + oy_s[None, :],
-            base[:, 2:3] + oz_s[None, :])]  # [P, 64]
+        bricks = self._fetch_windows(tsdf_flat, base, side)  # [P, 64]
 
         n_pix = g.shape[0]
         pad_p = (-n_pix) % 8

@@ -120,8 +120,16 @@ def random_feature_perceptual(img: np.ndarray, gt: np.ndarray,
 
 
 def perceptual_distance(img: np.ndarray, gt: np.ndarray):
-    """(value, kind): LPIPS-AlexNet when weights are available (kind
-    'lpips'), else the random-feature proxy (kind 'rf_perceptual')."""
+    """(value, kind): true LPIPS-AlexNet when weights are available (kind
+    'lpips'), else the random-feature proxy (kind 'rf_perceptual').
+
+    Weight resolution order: the vendored JAX path
+    (remixfusion_tpu/assets/lpips_alex.npz, produced by
+    scripts/convert_lpips_weights.py — no torch needed at eval time),
+    then torchmetrics' cached download, then the proxy."""
+    from remixfusion_tpu.utils import lpips_jax
+    if lpips_jax.weights_available():
+        return lpips_jax.lpips_jax(img, gt), "lpips"
     v = lpips_or_nan(img, gt)
     if np.isfinite(v):
         return v, "lpips"

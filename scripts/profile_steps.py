@@ -50,6 +50,8 @@ def main():
     from remixfusion_tpu.slam import RemixFusionTPU
 
     cfg = load_config(args.config)
+    if os.environ.get("REMIX_EVAL_MODE"):
+        cfg["RO"]["eval_mode"] = os.environ["REMIX_EVAL_MODE"]
     cfg["data"]["synthetic"]["n_frames"] = args.frames + 10
     cfg["data"]["output"] = "output/profile"
     cfg["data"]["exp_name"] = "profile"

@@ -341,7 +341,7 @@ def test_global_tiled_integrator_matches_dense():
     assert_near(dw2, tw2, dv2, tv2, n_upd)
 
 
-def test_pair_packed_gbv_query_matches_direct():
+def test_oct_packed_gbv_query_matches_direct():
     """query_gbvw_fast through the gbq mirror must equal the direct
     8-corner gbv/gbw trilinear path."""
     import jax
