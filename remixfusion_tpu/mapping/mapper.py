@@ -174,12 +174,12 @@ class Mapper:
             offs = tsdf_ops.frustum_tiles(
                 (R, R, R), tile, bound_np[:, 0], vs, K_np,
                 c2w_np, im_h, im_w,
-                max_depth=lam_max * (dmax + trunc), pad_px=2.0)
+                max_depth=lam_max * (dmax + trunc), pad_px=2.0,
+                depth_map=host_depth, lam_max=lam_max, trunc=trunc)
             n_total = (R // tile) ** 3
-            budget = 64
-            while budget < offs.shape[0]:
-                budget *= 2
-            budget = min(budget, n_total)
+            # round up to 64-tile granularity: padded tiles still pay the
+            # per-voxel image gathers, so pow2 rounding wasted up to 2x
+            budget = min(max(64, -64 * (-offs.shape[0] // 64)), n_total)
             if budget >= n_total:
                 offs = None  # no saving; use the dense path
             else:

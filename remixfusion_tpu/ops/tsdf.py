@@ -570,11 +570,20 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
 
 
 def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
-                  max_depth=None, pad_px: float = 0.0):
+                  max_depth=None, pad_px: float = 0.0,
+                  depth_map=None, lam_max=None, trunc=None):
     """Host-side: voxel offsets [N, 3] of the tiles whose AABB intersects the
     view frustum (conservative corner test). `pad_px` widens the image
     bounds so a slightly-wrong pose (e.g. the predicted pose standing in for
-    the tracked one) cannot cull a tile the true frustum touches."""
+    the tracked one) cannot cull a tile the true frustum touches.
+
+    With `depth_map` (+ lam_max, trunc) the far cull is REGIONAL: a tile is
+    dropped when its nearest corner lies beyond lam_max * (d_max + trunc)
+    of the maximum valid depth inside its own (padded) image-AABB — exact,
+    since the update condition sdf >= -trunc bounds camera z of any updated
+    voxel by lam * (depth_at_its_pixel + trunc) and the block-max depth
+    over a superset of the tile's pixels is >= that pixel depth. Tiles
+    behind walls no longer ride on the whole image's deepest pixel."""
     import numpy as np
 
     t = int(tile)
@@ -601,13 +610,61 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
     # conservative: if all front corners are beyond one image border, skip
     # ±inf sentinels for behind-camera corners (ignored by the max/min
     # tests; all-behind tiles are dropped by any_front anyway)
-    out_l = np.where(front, u, -np.inf).max(1) < -pad_px
-    out_r = np.where(front, u, np.inf).min(1) >= im_w + pad_px
-    out_t = np.where(front, v, -np.inf).max(1) < -pad_px
-    out_b = np.where(front, v, np.inf).min(1) >= im_h + pad_px
+    u_lo = np.where(front, u, -np.inf).max(1)
+    u_hi = np.where(front, u, np.inf).min(1)
+    v_lo = np.where(front, v, -np.inf).max(1)
+    v_hi = np.where(front, v, np.inf).min(1)
+    # straddling tiles (corners on both sides of the camera plane) have an
+    # unbounded projected footprint — never cull them by image borders
+    all_front = front.all(1)
+    out_l = (u_lo < -pad_px) & all_front
+    out_r = (u_hi >= im_w + pad_px) & all_front
+    out_t = (v_lo < -pad_px) & all_front
+    out_b = (v_hi >= im_h + pad_px) & all_front
     keep = any_front & ~(out_l | out_r | out_t | out_b)
+    # a tile straddling the camera plane (not all corners in front) can
+    # contain arbitrarily-near interior voxels even when its front corners
+    # are far — its near bound is 0, never the corner minimum
+    z_near = np.where(front.all(1), np.where(front, z, np.inf).min(1), 0.0)
     if max_depth is not None:
-        keep &= np.where(front, z, np.inf).min(1) <= max_depth
+        keep &= z_near <= max_depth
+    if depth_map is not None and keep.any():
+        # block-max depth pyramid (32 px blocks, zeros = invalid ignored)
+        blk = 32
+        d = np.asarray(depth_map)
+        H, W = d.shape
+        ph, pw = (-H) % blk, (-W) % blk
+        if ph or pw:
+            d = np.pad(d, ((0, ph), (0, pw)))
+        dmax_blk = d.reshape(d.shape[0] // blk, blk,
+                             d.shape[1] // blk, blk).max((1, 3))
+        nbh, nbw = dmax_blk.shape
+        # tile image AABB (clipped, padded), in block units; straddling
+        # tiles get the full image
+        with np.errstate(invalid="ignore"):
+            bu0 = np.clip(np.floor((u.min(1) - pad_px) / blk),
+                          0, nbw - 1).astype(np.int64)
+            bu1 = np.clip(np.floor((u.max(1) + pad_px) / blk),
+                          0, nbw - 1).astype(np.int64)
+            bv0 = np.clip(np.floor((v.min(1) - pad_px) / blk),
+                          0, nbh - 1).astype(np.int64)
+            bv1 = np.clip(np.floor((v.max(1) + pad_px) / blk),
+                          0, nbh - 1).astype(np.int64)
+        bu0 = np.where(all_front, bu0, 0)
+        bv0 = np.where(all_front, bv0, 0)
+        bu1 = np.where(all_front, bu1, nbw - 1)
+        bv1 = np.where(all_front, bv1, nbh - 1)
+        # 2D prefix max is overkill; AABBs are small — use a summed-area
+        # style loop only over kept tiles
+        ki = np.flatnonzero(keep)
+        reg_max = np.empty(len(ki))
+        for j, i in enumerate(ki):
+            reg_max[j] = dmax_blk[bv0[i]:bv1[i] + 1,
+                                  bu0[i]:bu1[i] + 1].max()
+        far = z_near[ki] > lam_max * (reg_max + trunc)
+        # tiles whose AABB saw only invalid depth (max 0) update nothing
+        dead = reg_max <= 0
+        keep[ki[far | dead]] = False
     return base[keep].astype(np.int32)
 
 

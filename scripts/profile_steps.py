@@ -88,7 +88,7 @@ def main():
     ss = slam.tracker.init_search_size()
 
     prof = os.environ.get("REMIX_PROFILE")
-    if prof:
+    if prof == "1":
         jax.profiler.start_trace("output/profile/xprof")
 
     # --- track program alone ---
@@ -136,6 +136,10 @@ def main():
                   f"{ms:.2f} ms")
 
     # --- global tiled integrate (donates gbv/gbw -> chain the buffers) ---
+    if prof == "late":
+        # separate capture window: the track loop alone exceeds the trace
+        # event cap, truncating everything after it
+        jax.profiler.start_trace("output/profile/xprof")
     b = slam.buffers
     t0 = time.perf_counter()
     for _ in range(args.reps):

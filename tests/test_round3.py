@@ -49,6 +49,71 @@ def test_lpips_jax_architecture():
     assert d_same < d_ac < d_ab
 
 
+def test_regional_tile_cull_covers_all_dense_updates():
+    """frustum_tiles with the regional depth cull (depth_map + lam_max +
+    trunc) must keep every tile containing a voxel the DENSE global sweep
+    updates — across poses including one with the camera inside the grid
+    (straddling tiles have unbounded footprints and near bound 0)."""
+    import jax.numpy as jnp
+
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    rng = np.random.default_rng(7)
+    H, W = 24, 32
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1.0]],
+                 np.float32)
+    R, tile = 48, 12
+    bound = np.array([[0.0, 3.0], [0.0, 3.0], [0.0, 3.0]], np.float32)
+    trunc = 0.25
+    vs = (bound[:, 1] - bound[:, 0]).astype(np.float64) / R
+    lam_max = float(np.sqrt(
+        1.0 + max((K[0, 2] / K[0, 0]) ** 2, ((W - K[0, 2]) / K[0, 0]) ** 2)
+        + max((K[1, 2] / K[1, 1]) ** 2, ((H - K[1, 2]) / K[1, 1]) ** 2)))
+
+    poses = []
+    p1 = np.eye(4, dtype=np.float32)
+    p1[:3, 3] = [1.5, 1.5, 0.3]
+    poses.append(p1)
+    p2 = np.eye(4, dtype=np.float32)  # camera inside the grid, tilted
+    from scipy.spatial.transform import Rotation
+    p2[:3, :3] = Rotation.from_euler("xyz", [30, 40, 10],
+                                     degrees=True).as_matrix()
+    p2[:3, 3] = [1.4, 1.6, 1.5]
+    poses.append(p2)
+
+    for c2w in poses:
+        depth = rng.uniform(0.4, 2.0, (H, W)).astype(np.float32)
+        depth[rng.random((H, W)) < 0.15] = 0.0
+        rgb01 = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+
+        vol = tsdf_ops.VolumeState(
+            tsdf=jnp.zeros((R, R, R)), weight=jnp.zeros((R, R, R)),
+            color=jnp.zeros((R, R, R, 3)), origin=jnp.asarray(bound[:, 0]))
+        out = tsdf_ops.fuse_frame(
+            vol, jnp.asarray(depth), jnp.asarray(rgb01), jnp.asarray(K),
+            jnp.asarray(c2w), voxel_size=1.0 / R, trunc_margin=trunc,
+            obs_weight=1.0, im_h=H, im_w=W, global_mode=True,
+            scale=jnp.asarray(bound[:, 1] - bound[:, 0]),
+            voxel_size_is_normalized=True)
+        updated = np.argwhere(np.asarray(out.weight) > 0)
+        assert len(updated)
+
+        offs = tsdf_ops.frustum_tiles(
+            (R, R, R), tile, bound[:, 0].astype(np.float64), vs, K, c2w,
+            H, W, max_depth=lam_max * (float(depth.max()) + trunc),
+            pad_px=2.0, depth_map=depth, lam_max=lam_max, trunc=trunc)
+        kept = {tuple(o // tile) for o in offs}
+        upd_tiles = {tuple(u // tile) for u in updated}
+        missing = upd_tiles - kept
+        assert not missing, f"culled tiles with updates: {missing}"
+        # and the cull actually removes something vs pure frustum
+        offs_nocull = tsdf_ops.frustum_tiles(
+            (R, R, R), tile, bound[:, 0].astype(np.float64), vs, K, c2w,
+            H, W, max_depth=lam_max * (float(depth.max()) + trunc),
+            pad_px=2.0)
+        assert offs.shape[0] <= offs_nocull.shape[0]
+
+
 def test_perceptual_distance_fallback_kind():
     """Without the vendored npz (this environment), perceptual_distance
     must report the proxy kind, never claim 'lpips'."""

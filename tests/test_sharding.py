@@ -127,6 +127,42 @@ def test_sharded_fusion_matches_single_device(n_dev):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_candidate_sharded_tracking_matches_replicated(n_dev):
+    """Candidate-sharded tracking (ROTracker(mesh=...) constrains each
+    tier's per-candidate cost sums to shard over the mesh axis, so every
+    chip scores a candidate slice against the replicated volume) must
+    produce the same pose as the single-device tracker."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    from remixfusion_tpu.tracking.rotracker import ROTracker
+    from remixfusion_tpu.tracking.volume import MovingVolume
+
+    cfg = tiny_config()
+    ds = get_dataset(cfg)
+    K = jnp.asarray(ds.K())
+    mv = MovingVolume(cfg, np.asarray(ds[0]["c2w"], np.float32))
+    for i in range(3):
+        f = ds[i]
+        mv.integrate(f["rgb"], f["depth"], K,
+                     np.asarray(f["c2w"], np.float32), rgb_is_unit=True,
+                     full_sweep=True)
+
+    def track(mesh):
+        tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                       brick_layout=mv.brick_layout(), mesh=mesh)
+        return tr.do_tracking(
+            mv.state, jnp.asarray(np.asarray(ds[2]["c2w"], np.float32)),
+            jnp.asarray(ds[3]["depth"]), jax.random.PRNGKey(3),
+            tr.init_search_size())
+
+    res_1 = track(None)
+    res_n = track(make_mesh(n_dev))
+    np.testing.assert_allclose(np.asarray(res_n.c2w),
+                               np.asarray(res_1.c2w), atol=1e-5)
+    assert bool(res_n.first_iter_success) == bool(res_1.first_iter_success)
+
+
 def test_interleaved_track_map_dataflow_sharded():
     """The pipeline's interleave — track a frame (replicated), fuse it into
     the sharded global grid, and every map_every frames run a DP mapping
