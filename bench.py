@@ -59,10 +59,16 @@ def main():
     map_every = cfg["mapping"]["map_every"]
     kf_every = cfg["mapping"]["keyframe_every"]
     import jax
+    import jax.numpy as jnp
+    _touch = jax.jit(lambda x: x.reshape(-1)[:1].astype(jnp.float32))
+    np.asarray(_touch(slam.mv.state.weight))
+    np.asarray(_touch(jax.tree_util.tree_leaves(slam.params)[0]))
     frame_times = []
     frame_mapped = []
+    frame_stamps = []
     for idx in range(1, n_frames):
         t_f = time.perf_counter()
+        frame_stamps.append(time.strftime("%H:%M:%S"))
         # Seed the host cache so the in-loop device prefetch of idx+1 finds
         # the pre-rendered frame instead of re-raytracing it.
         if idx + 1 < n_frames:
@@ -76,9 +82,11 @@ def main():
             slam.mapping_round(cur_map_id)
             mapped = True
         if idx == n_frames - 1:
-            # Force completion of in-flight device work before the last stamp.
-            np.asarray(slam.mv.state.weight.reshape(-1)[0])
-            np.asarray(jax.tree_util.tree_leaves(slam.params)[0]).ravel()[0]
+            # Force completion of in-flight device work before the last
+            # stamp (prewarmed jitted touch — eager reshape/slice here would
+            # trace fresh programs and stall the final frame).
+            np.asarray(_touch(slam.mv.state.weight))
+            np.asarray(_touch(jax.tree_util.tree_leaves(slam.params)[0]))
         frame_times.append(time.perf_counter() - t_f)
         frame_mapped.append(mapped)
     times = np.asarray(frame_times[warmup - 1:])
@@ -100,6 +108,10 @@ def main():
     if n_stall:
         print(f"# excluded {n_stall} compile-stall frames "
               f"(total {times[~ok].sum():.1f}s)", file=sys.stderr)
+        stamps = frame_stamps[warmup - 1:]
+        for i in np.flatnonzero(~ok):
+            print(f"#   stall: frame={warmup + i} t={times[i]:.2f}s "
+                  f"mapped={bool(mapped[i])} at={stamps[i]}", file=sys.stderr)
 
     track_ms = 1000 * np.mean(slam.stats["track_time"][warmup:])
     map_ms = (1000 * np.mean(slam.stats["map_time"][-20:])

@@ -37,15 +37,17 @@ from remixfusion_tpu.ops import tsdf as tsdf_ops
 
 
 @jax.jit
-def _pack_gbq(gbv: jnp.ndarray, gbw: jnp.ndarray) -> jnp.ndarray:
-    """Oct-packed query mirror of the explicit grid: [R^3, 40] rows holding
-    the (tsdf, rgb, w) of all 8 trilinear corners of cell i — corner order
+def _pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
+    """Oct-packed query mirror of the explicit grid: [R^3, 32] rows holding
+    the (tsdf, rgb) of all 8 trilinear corners of cell i — corner order
     (dx, dy, dz) = 000, 001, 010, 011, 100, 101, 110, 111. A trilinear
     query is then ONE gather row per point (TPU gathers are per-row
     latency-priced; measured 1.8x over the previous 4-row pair packing).
-    See SceneBuffers.gbq."""
+    The fusion weight is NOT packed: no hot-path query consumes it (the
+    render path uses rgb+tsdf only), and dropping it cuts the mirror and
+    its per-keyframe rebuild by 20%. See SceneBuffers.gbq."""
     R = gbv.shape[0]
-    flat = jnp.concatenate([gbv.reshape(-1, 4), gbw.reshape(-1, 1)], -1)
+    flat = gbv.reshape(-1, 4)
     parts = []
     for dx in (0, 1):
         for dy in (0, 1):
@@ -201,7 +203,7 @@ class Mapper:
                 jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
                 jnp.asarray(obs_weight, jnp.float32))
             return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                                gbq=_pack_gbq(gbv, gbw))
+                                gbq=_pack_gbq(gbv))
 
         key = (im_h, im_w)
         if key not in self._integrate_fns:
@@ -212,7 +214,7 @@ class Mapper:
             jnp.asarray(bound, jnp.float32),
             jnp.asarray(obs_weight, jnp.float32))
         return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                                gbq=_pack_gbq(gbv, gbw))
+                                gbq=_pack_gbq(gbv))
 
     def reset_global_volume(self, buffers: SceneBuffers) -> SceneBuffers:
         """clean_tsdf semantics: tsdf=1, rgb=0, weights=0
@@ -220,7 +222,7 @@ class Mapper:
         gbv = jnp.zeros_like(buffers.gbv).at[..., 0].set(1.0)
         gbw = jnp.zeros_like(buffers.gbw)
         return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                            gbq=_pack_gbq(gbv, gbw))
+                            gbq=_pack_gbq(gbv))
 
     # -------------------------------------------------------------- losses
 

@@ -50,7 +50,7 @@ class SceneBuffers(NamedTuple):
     gbv: jnp.ndarray       # [R, R, R, 4] tsdf + rgb (explicit global volume)
     gbw: jnp.ndarray       # [R, R, R] fusion weights
     rba: RBABuffers
-    # Derived oct-packed query mirror [R^3, 40]: row i = (tsdf,rgb,w) of
+    # Derived oct-packed query mirror [R^3, 32]: row i = (tsdf, rgb) of
     # all 8 trilinear corners of cell i (see mapper._pack_gbq). Trilinear
     # queries then cost ONE gather row per point instead of 8+8 narrow
     # ones — gathers on TPU are per-row latency-priced. Rebuilt after
@@ -109,17 +109,18 @@ class SceneRepresentation:
 
     def query_gbvw_fast(self, buffers: "SceneBuffers",
                         pts: jnp.ndarray) -> jnp.ndarray:
-        """[N, 5] (tsdf, r, g, b, w) trilinear query through the oct-packed
+        """[N, 4] (tsdf, r, g, b) trilinear query through the oct-packed
         mirror when available (ONE gather row/point), else the direct
-        path."""
+        path. The fusion weight is intentionally not returned — no hot
+        caller needs it (query_gbw serves the cold paths)."""
         if buffers.gbq is not None:
             R = self.gbv_resolution
             pos = pts * R
             low = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
             frac = jnp.clip(pos - low.astype(jnp.float32), 0.0, 1.0)
             base = low[:, 0] * (R * R) + low[:, 1] * R + low[:, 2]
-            row = buffers.gbq[base]                 # [N, 40] = 8 corners x 5
-            out = jnp.zeros((pts.shape[0], 5), jnp.float32)
+            row = buffers.gbq[base]                 # [N, 32] = 8 corners x 4
+            out = jnp.zeros((pts.shape[0], 4), jnp.float32)
             k = 0
             for dx in (0, 1):
                 for dy in (0, 1):
@@ -127,12 +128,10 @@ class SceneRepresentation:
                         w = ((frac[:, 0] if dx else 1 - frac[:, 0])
                              * (frac[:, 1] if dy else 1 - frac[:, 1])
                              * (frac[:, 2] if dz else 1 - frac[:, 2]))
-                        out = out + w[:, None] * row[:, 5 * k: 5 * k + 5]
+                        out = out + w[:, None] * row[:, 4 * k: 4 * k + 4]
                         k += 1
             return out
-        v = self.query_gbv(buffers.gbv, pts)
-        w = self.query_gbw(buffers.gbw, pts)
-        return jnp.concatenate([v, w[:, None]], -1)
+        return self.query_gbv(buffers.gbv, pts)
 
     def query_gbv(self, gbv: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
         """Trilinear lookup of the explicit grid at normalized points [N, 3].
@@ -239,7 +238,7 @@ class SceneRepresentation:
         TSDF (scene_rep.py:314-349)."""
         embedded = self.embed_res_fn(params.hash_table, pts)
         embedded_pos = self.embedpos_fn(None, pts)
-        ex_trgb = self.query_gbvw_fast(buffers, pts)[:, :4]
+        ex_trgb = self.query_gbvw_fast(buffers, pts)
         tmp_tsdf = self._explicit_tsdf(ex_trgb)
         if clamp:
             threshold = self.config["mapping"]["clamp"]

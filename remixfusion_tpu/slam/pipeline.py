@@ -251,15 +251,19 @@ class RemixFusionTPU:
             jax.block_until_ready((res.c2w, t2))
             del t2, w2, c2
 
-        # re-center shift (identity move; state-preserving)
+        # re-center shift (identity move; state-preserving). Warms the
+        # whole-brick fast path the policy actually takes, plus the dense
+        # fallback.
         from remixfusion_tpu.ops import tsdf as tsdf_ops
-        dense = mv.dense_state()
-        dense = tsdf_ops.shift_volume(
-            dense, dense.origin, mv.voxel_size)
-        mv.set_dense_state(dense)
+        mv._shift_to(mv.vol_bnds.copy())
+        if mv.brick:
+            dense = mv.dense_state()
+            dense = tsdf_ops.shift_volume(dense, dense.origin, mv.voxel_size)
+            mv.set_dense_state(dense)
         jax.block_until_ready(mv.state.tsdf)
 
-        # tiled global-integrate budgets (dummy donated grids)
+        # tiled global-integrate budgets (dummy donated grids) — all
+        # 64-granular budgets the mapper can emit
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if tile is not None:
@@ -280,7 +284,7 @@ class RemixFusionTPU:
                     jnp.asarray(1.0, jnp.float32))
                 jax.block_until_ready(gv)
                 del gv, gw
-                budget *= 2
+                budget += 64
 
         # map/BA ray-bucket variants (copied params, snapshotted optimizers)
         m = self.config["mapping"]
@@ -892,7 +896,7 @@ class RemixFusionTPU:
         gbv = jnp.asarray(data["gbv"])
         gbw = jnp.asarray(data["gbw"])
         self.buffers = self.buffers._replace(
-            gbv=gbv, gbw=gbw, gbq=_pack_gbq(gbv, gbw),
+            gbv=gbv, gbw=gbw, gbq=_pack_gbq(gbv),
             rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
                            jnp.asarray(data["rba_init_r"]),
                            jnp.asarray(data["rba_init_t"])))

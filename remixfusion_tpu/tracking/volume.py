@@ -244,11 +244,20 @@ class MovingVolume:
         new_bnds = np.asarray(new_bnds, np.float64)
         new_bnds[:, 1] = new_bnds[:, 0] + np.asarray(self.dims) * self.voxel_size
         if self.brick:
-            dense = self.dense_state()
-            dense = tsdf_ops.shift_volume(
-                dense, jnp.asarray(new_bnds[:, 0], jnp.float32),
-                self.voxel_size)
-            self.set_dense_state(dense)
+            off_vox = np.round(
+                (new_bnds[:, 0] - self.vol_bnds[:, 0]) / self.voxel_size)
+            if np.all(off_vox % self.brick == 0):
+                # hot path: whole-brick shift directly on the brick-major
+                # state (one row-gather per array)
+                self.state = tsdf_ops.shift_volume_bm(
+                    self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),
+                    self.voxel_size, self.brick_layout(), self.dims)
+            else:
+                dense = self.dense_state()
+                dense = tsdf_ops.shift_volume(
+                    dense, jnp.asarray(new_bnds[:, 0], jnp.float32),
+                    self.voxel_size)
+                self.set_dense_state(dense)
         else:
             self.state = tsdf_ops.shift_volume(
                 self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),

@@ -360,13 +360,11 @@ def test_oct_packed_gbv_query_matches_direct():
     rba_b = scene.rba.init_buffers()
     buf_direct = SceneBuffers(gbv=gbv, gbw=gbw, rba=rba_b)
     buf_packed = SceneBuffers(gbv=gbv, gbw=gbw, rba=rba_b,
-                              gbq=_pack_gbq(gbv, gbw))
+                              gbq=_pack_gbq(gbv))
     pts = jnp.asarray(rng.uniform(0.01, 0.99, (512, 3)).astype(np.float32))
     a = np.asarray(scene.query_gbvw_fast(buf_direct, pts))
     b = np.asarray(scene.query_gbvw_fast(buf_packed, pts))
     np.testing.assert_allclose(a, b, atol=1e-5)
-    # and the direct components agree with query_gbv/query_gbw
+    # and the direct components agree with query_gbv
     v = np.asarray(scene.query_gbv(gbv, pts))
-    w = np.asarray(scene.query_gbw(gbw, pts))
-    np.testing.assert_allclose(a[:, :4], v, atol=1e-6)
-    np.testing.assert_allclose(a[:, 4], w, atol=1e-6)
+    np.testing.assert_allclose(a, v, atol=1e-6)

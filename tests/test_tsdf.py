@@ -128,6 +128,43 @@ def test_shift_volume_preserves_content():
     assert (np.asarray(out.origin) == np.asarray(new_origin)).all()
 
 
+def test_shift_volume_bm_matches_dense_shift():
+    """Whole-brick re-center on the brick-major state must equal the dense
+    shift_volume round-tripped through the layout, for shifts in every
+    direction including partially out-of-range."""
+    rng = np.random.default_rng(0)
+    dims, b = (16, 16, 16), 4
+    layout = (b, dims[1] // b, dims[2] // b)
+    voxel = 0.25
+    t = rng.uniform(-1, 1, dims).astype(np.float32)
+    w = rng.uniform(0, 5, dims).astype(np.float32)
+    c = rng.uniform(0, 255, dims + (3,)).astype(np.float32)
+    origin = np.zeros(3, np.float32)
+    for off_bricks in ([1, 0, 0], [-2, 1, 0], [0, -1, 3], [4, 4, 4]):
+        new_origin = jnp.asarray(
+            origin + np.asarray(off_bricks) * b * voxel, jnp.float32)
+        dense = tsdf.VolumeState(
+            tsdf=jnp.asarray(t), weight=jnp.asarray(w), color=jnp.asarray(c),
+            origin=jnp.asarray(origin))
+        ref = tsdf.shift_volume(dense, new_origin, voxel)
+        bm = tsdf.VolumeState(
+            tsdf=tsdf.dense_to_bm(dense.tsdf, b),
+            weight=tsdf.dense_to_bm(dense.weight, b),
+            color=tsdf.dense_to_bm(dense.color, b),
+            origin=dense.origin)
+        out = tsdf.shift_volume_bm(bm, new_origin, voxel, layout, dims)
+        np.testing.assert_allclose(
+            np.asarray(tsdf.bm_to_dense(out.tsdf, dims, b)),
+            np.asarray(ref.tsdf), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tsdf.bm_to_dense(out.weight, dims, b)),
+            np.asarray(ref.weight), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(tsdf.bm_to_dense(out.color, dims, b)),
+            np.asarray(ref.color), atol=1e-6)
+        assert np.allclose(np.asarray(out.origin), np.asarray(new_origin))
+
+
 def test_filter_and_reset():
     vol = make_local_volume(dims=(8, 8, 8))
     w = np.zeros((8, 8, 8), np.float32)
