@@ -177,6 +177,10 @@ def main():
     except Exception as e:
         print(f"# ate eval failed: {e}", file=sys.stderr)
 
+    if slam._stage_timer is not None:
+        print("# stage timers:\n" + slam._stage_timer.summary(),
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "online tracking+mapping FPS "
                   "(synthetic 640x480, BS3D-like settings, 1 chip)",

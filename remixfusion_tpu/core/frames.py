@@ -59,11 +59,22 @@ class DeviceFramePrefetcher:
     device_put + unpack without blocking; get(i, batch) returns the device
     (depth, rgb) pair, falling back to a synchronous path on a miss. A tiny
     LRU keeps keyframes alive for the mapping round that revisits them.
+
+    With a ThreadPoolExecutor (`pool`), the device_put itself runs on a
+    worker thread: on a tunneled device the transfer call blocks the calling
+    thread for tens of ms (measured 39 ms/frame at 640x480), but it releases
+    the GIL, so a worker overlaps it with the main thread's harvest wait.
+    get() then joins the future (usually already resolved).
     """
 
-    def __init__(self, cap: int = 4):
+    def __init__(self, cap: int = 4, pool=None):
         self.cap = cap
-        self._cache: dict[int, tuple] = {}
+        self.pool = pool
+        self._cache: dict[int, object] = {}
+
+    @staticmethod
+    def _stage(packed):
+        return unpack_frame(jax.device_put(packed))
 
     def prefetch(self, idx: int, batch) -> None:
         if idx in self._cache:
@@ -76,14 +87,19 @@ class DeviceFramePrefetcher:
                 # real sensors deliver u16-mm/u8 natively; cache the packed
                 # form so synthetic/float sources also pay the quantize once
                 batch["_packed"] = packed
-        dev = jax.device_put(packed)
-        self._cache[idx] = unpack_frame(dev)  # async dispatch
+        if self.pool is not None:
+            self._cache[idx] = self.pool.submit(self._stage, packed)
+        else:
+            self._cache[idx] = self._stage(packed)
         while len(self._cache) > self.cap:
             self._cache.pop(next(iter(self._cache)))
 
     def get(self, idx: int, batch):
         hit = self._cache.get(idx)
-        if hit is not None:
-            return hit
-        self.prefetch(idx, batch)
-        return self._cache[idx]
+        if hit is None:
+            self.prefetch(idx, batch)
+            hit = self._cache[idx]
+        if hasattr(hit, "result"):  # resolve a worker-staged future once
+            hit = hit.result()
+            self._cache[idx] = hit
+        return hit

@@ -140,9 +140,13 @@ class RemixFusionTPU:
         # Device-side RGB-D staging: packed u16-depth/u8-rgb transfers with
         # one-frame-ahead prefetch (see core/frames.py — the tunneled H2D
         # link costs more than the whole per-frame device budget otherwise).
+        # Transfers get their own single worker (not _sel_pool): the
+        # device_put blocks its thread ~39 ms/frame on a tunneled link, and
+        # the selector must not queue behind it.
         from remixfusion_tpu.core.frames import DeviceFramePrefetcher
+        self._xfer_pool = ThreadPoolExecutor(max_workers=1)
         self._dev_frames = DeviceFramePrefetcher(
-            cap=config["mapping"]["map_every"] + 3)
+            cap=config["mapping"]["map_every"] + 3, pool=self._xfer_pool)
 
         self.out_dir = os.path.join(config["data"]["output"],
                                     config["data"]["exp_name"])
