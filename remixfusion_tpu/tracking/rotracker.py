@@ -524,7 +524,7 @@ class ROTracker:
 
         table_t: [8, C] transposed candidate table."""
         from remixfusion_tpu.ops.pallas.brick_eval import (
-            BRICK_SIDE, brick_eval)
+            BRICK_SIDE, PIX_TILE, brick_eval)
 
         H, W = self.H, self.W
         K = self.K
@@ -546,7 +546,7 @@ class ROTracker:
         bricks = self._fetch_windows(vol, base, side)  # [P, 64]
 
         n_pix = g.shape[0]
-        pad_p = (-n_pix) % 8
+        pad_p = (-n_pix) % PIX_TILE
         n_pix_p = n_pix + pad_p
 
         bricks = jnp.pad(bricks, ((0, pad_p), (0, 128 - side ** 3)))
