@@ -141,9 +141,47 @@ class Mapper:
 
         return run
 
+    def select_integrate_tiles(self, host_depth, host_c2w, K_np, bound,
+                               im_h: int, im_w: int):
+        """Host-side frustum/depth tile selection for integrate_keyframe.
+        Pure numpy over host arrays — safe on a worker thread (the online
+        pipeline overlaps it with the device wait; see
+        pipeline._queue_integrate_lookahead). Returns (offs [budget, 3]
+        np.int32 padded with -1, budget) or (None, None) for the dense
+        sweep."""
+        R = self.scene.gbv_resolution
+        tile = tsdf_ops.pick_global_tile(R)
+        if host_depth is None or tile is None:
+            return None, None
+        bound_np = np.asarray(bound, np.float64)
+        vs = (bound_np[:, 1] - bound_np[:, 0]) / R
+        dmax = float(np.max(host_depth))
+        lam_max = float(np.sqrt(
+            1.0 + max(((0 - K_np[0, 2]) / K_np[0, 0]) ** 2,
+                      ((im_w - K_np[0, 2]) / K_np[0, 0]) ** 2)
+            + max(((0 - K_np[1, 2]) / K_np[1, 1]) ** 2,
+                  ((im_h - K_np[1, 2]) / K_np[1, 1]) ** 2)))
+        trunc = self.config["training"]["c_trunc"]
+        offs = tsdf_ops.frustum_tiles(
+            (R, R, R), tile, bound_np[:, 0], vs, K_np,
+            np.asarray(host_c2w), im_h, im_w,
+            max_depth=lam_max * (dmax + trunc), pad_px=2.0,
+            depth_map=host_depth, lam_max=lam_max, trunc=trunc)
+        n_total = (R // tile) ** 3
+        # smallest sixteenth-of-grid bucket that fits (bounded variant set;
+        # see tsdf.global_budget_buckets)
+        budget = next(
+            (b for b in tsdf_ops.global_budget_buckets(n_total)
+             if b >= offs.shape[0]), n_total)
+        if budget >= n_total:
+            return None, None  # no saving; use the dense path
+        pad = np.full((budget - offs.shape[0], 3), -1, np.int32)
+        return np.concatenate([offs, pad], 0), budget
+
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
                            bound, obs_weight: float = 1.0,
-                           host_depth=None, host_c2w=None) -> SceneBuffers:
+                           host_depth=None, host_c2w=None,
+                           precomputed_tiles=None) -> SceneBuffers:
         """Fuse a keyframe into the explicit global grid
         (reference mapper.py:823-872). `bound`: [3, 2] world bounds; grid
         voxel i maps to bound_min + i/R * extent. One jitted program —
@@ -154,39 +192,21 @@ class Mapper:
         frustum-tiled: tiles are selected on the host with a conservative
         corner test bounded by lam_max * (dmax + trunc), which provably
         covers every voxel the dense sweep would update — 3-5x less
-        image-gather traffic, bit-identical result."""
+        image-gather traffic, bit-identical result. `precomputed_tiles`
+        (an (offs, budget) pair from select_integrate_tiles, e.g. computed
+        look-ahead on a worker thread) skips the in-line selection;
+        host_c2w avoids np.asarray on a device pose (a blocking readback
+        behind the whole device queue)."""
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
-        if host_depth is not None and tile is not None:
-            bound_np = np.asarray(bound, np.float64)
-            vs = (bound_np[:, 1] - bound_np[:, 0]) / R
-            K_np = np.asarray(K)
-            dmax = float(np.max(host_depth))
-            lam_max = float(np.sqrt(
-                1.0 + max(((0 - K_np[0, 2]) / K_np[0, 0]) ** 2,
-                          ((im_w - K_np[0, 2]) / K_np[0, 0]) ** 2)
-                + max(((0 - K_np[1, 2]) / K_np[1, 1]) ** 2,
-                      ((im_h - K_np[1, 2]) / K_np[1, 1]) ** 2)))
-            trunc = self.config["training"]["c_trunc"]
-            # host_c2w avoids np.asarray on a device pose here — that
-            # would be a blocking readback behind the whole device queue
-            c2w_np = (np.asarray(host_c2w) if host_c2w is not None
-                      else np.asarray(c2w))
-            offs = tsdf_ops.frustum_tiles(
-                (R, R, R), tile, bound_np[:, 0], vs, K_np,
-                c2w_np, im_h, im_w,
-                max_depth=lam_max * (dmax + trunc), pad_px=2.0,
-                depth_map=host_depth, lam_max=lam_max, trunc=trunc)
-            n_total = (R // tile) ** 3
-            # round up to 64-tile granularity: padded tiles still pay the
-            # per-voxel image gathers, so pow2 rounding wasted up to 2x
-            budget = min(max(64, -64 * (-offs.shape[0] // 64)), n_total)
-            if budget >= n_total:
-                offs = None  # no saving; use the dense path
-            else:
-                pad = np.full((budget - offs.shape[0], 3), -1, np.int32)
-                offs = np.concatenate([offs, pad], 0)
+        if precomputed_tiles is not None:
+            offs, budget = precomputed_tiles
+        elif host_depth is not None and tile is not None:
+            offs, budget = self.select_integrate_tiles(
+                host_depth,
+                host_c2w if host_c2w is not None else np.asarray(c2w),
+                np.asarray(K), bound, im_h, im_w)
         else:
             offs = None
 

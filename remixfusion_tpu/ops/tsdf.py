@@ -435,19 +435,39 @@ def make_tiled_fuser(dims, tile, n_tiles, *, voxel_size, trunc_margin,
     return fuse
 
 
-def pick_global_tile(R: int, lo: int = 10, hi: int = 40,
+def pick_global_tile(R: int, lo: int = 8, hi: int = 40,
                      target: int = 24) -> int | None:
     """Divisor of R closest to `target` in [lo, hi] (tile edge for the
     tiled global integrator); None when R has no divisor in range (dense
-    fallback). ~target-sized tiles keep the tile count high enough
-    (≥ (R/hi)^3) that frustum culling actually excludes tiles — overly
-    coarse tiles degenerate to the dense sweep."""
+    fallback). Finer tiles cull tighter (4.86M voxels at t=25 vs 3.03M at
+    t=10 per keyframe on the synthetic bench) and the standalone integrate
+    program is ~25% faster at t=10 — but A/B'd END-TO-END t=25 wins
+    (11.7-11.8 vs 10.2-11.6 FPS): the 8x tile count inflates host
+    selection and dispatch pressure inside the mapping round more than the
+    device saves. Override via REMIX_GLOBAL_TILE to re-measure."""
+    import os
+    target = int(os.environ.get("REMIX_GLOBAL_TILE", target))
     best = None
     for t in range(lo, hi + 1):
         if R % t == 0 and (best is None
                            or abs(t - target) < abs(best - target)):
             best = t
     return best
+
+
+def global_budget_buckets(n_total: int) -> list:
+    """Tile-budget buckets for the tiled global integrator: sixteenths of
+    the tile count (64-row aligned), so at most 15 program variants compile
+    at ANY grid/tile size (64-granular buckets at a fine tile = 125
+    variants, each a minutes-long TPU compile) while padding waste stays
+    under ~7% (padded tiles pay the per-voxel image gathers). Selections
+    above 15/16 fall through to the dense sweep."""
+    out = []
+    for k in range(1, 16):
+        b = min(-64 * (-(n_total * k) // (16 * 64)), n_total)
+        if b not in out:
+            out.append(b)
+    return out
 
 
 def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
@@ -583,51 +603,83 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
     since the update condition sdf >= -trunc bounds camera z of any updated
     voxel by lam * (depth_at_its_pixel + trunc) and the block-max depth
     over a superset of the tile's pixels is >= that pixel depth. Tiles
-    behind walls no longer ride on the whole image's deepest pixel."""
+    behind walls no longer ride on the whole image's deepest pixel.
+
+    At fine tiles (e.g. 8000 at R=200/t=10) a supertile prefilter runs the
+    same conservative corner test on s^3-tile blocks first and expands only
+    the survivors' children — a culled superbox provably contains no
+    intersecting child box, so the result is identical and the 1-core host
+    cost drops ~3x."""
     import numpy as np
 
     t = int(tile)
     nx, ny, nz = (dims[0] + t - 1) // t, (dims[1] + t - 1) // t, \
         (dims[2] + t - 1) // t
-    gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                             indexing="ij")
-    base = np.stack([gx, gy, gz], -1).reshape(-1, 3) * t  # [N, 3]
-    # 8 corners of every tile in world coords
-    corners = np.stack(np.meshgrid([0, t], [0, t], [0, t],
-                                   indexing="ij"), -1).reshape(-1, 3)
-    pts = (base[:, None, :] + corners[None, :, :]) * voxel_size \
-        + np.asarray(origin)[None, None, :]
-    w2c_R = np.asarray(c2w)[:3, :3].T
-    w2c_t = -w2c_R @ np.asarray(c2w)[:3, 3]
-    cam = pts @ w2c_R.T + w2c_t  # [N, 8, 3]
-    z = cam[:, :, 2]
+    w2c_R = np.asarray(c2w, np.float32)[:3, :3].T
+    w2c_t = (-w2c_R @ np.asarray(c2w, np.float32)[:3, 3]).astype(np.float32)
+    origin32 = np.asarray(origin, np.float32)
+    vs32 = np.asarray(voxel_size, np.float32)
     fx, fy, cx, cy = K[0][0], K[1][1], K[0][2], K[1][2]
     eps = 1e-6
-    u = fx * cam[:, :, 0] / np.maximum(z, eps) + cx
-    v = fy * cam[:, :, 1] / np.maximum(z, eps) + cy
-    front = z > 0
-    any_front = front.any(1)
-    # conservative: if all front corners are beyond one image border, skip
-    # ±inf sentinels for behind-camera corners (ignored by the max/min
-    # tests; all-behind tiles are dropped by any_front anyway)
-    u_lo = np.where(front, u, -np.inf).max(1)
-    u_hi = np.where(front, u, np.inf).min(1)
-    v_lo = np.where(front, v, -np.inf).max(1)
-    v_hi = np.where(front, v, np.inf).min(1)
-    # straddling tiles (corners on both sides of the camera plane) have an
-    # unbounded projected footprint — never cull them by image borders
-    all_front = front.all(1)
-    out_l = (u_lo < -pad_px) & all_front
-    out_r = (u_hi >= im_w + pad_px) & all_front
-    out_t = (v_lo < -pad_px) & all_front
-    out_b = (v_hi >= im_h + pad_px) & all_front
-    keep = any_front & ~(out_l | out_r | out_t | out_b)
-    # a tile straddling the camera plane (not all corners in front) can
-    # contain arbitrarily-near interior voxels even when its front corners
-    # are far — its near bound is 0, never the corner minimum
-    z_near = np.where(front.all(1), np.where(front, z, np.inf).min(1), 0.0)
-    if max_depth is not None:
-        keep &= z_near <= max_depth
+
+    def corner_test(base, edge):
+        """Conservative frustum test of [N] axis-aligned boxes with corner
+        `base` (voxel units) and `edge` voxels per side. Returns
+        (keep, z_near, u, v, front, all_front)."""
+        corners = np.stack(np.meshgrid([0, edge], [0, edge], [0, edge],
+                                       indexing="ij"),
+                           -1).reshape(-1, 3).astype(np.float32)
+        pts = (base[:, None, :].astype(np.float32) + corners[None, :, :]) \
+            * vs32 + origin32[None, None, :]
+        cam = pts @ w2c_R.T + w2c_t  # [N, 8, 3]
+        z = cam[:, :, 2]
+        u = fx * cam[:, :, 0] / np.maximum(z, eps) + cx
+        v = fy * cam[:, :, 1] / np.maximum(z, eps) + cy
+        front = z > 0
+        any_front = front.any(1)
+        # conservative: if all front corners are beyond one image border,
+        # skip. ±inf sentinels for behind-camera corners (ignored by the
+        # max/min tests; all-behind boxes are dropped by any_front anyway)
+        u_lo = np.where(front, u, -np.inf).max(1)
+        u_hi = np.where(front, u, np.inf).min(1)
+        v_lo = np.where(front, v, -np.inf).max(1)
+        v_hi = np.where(front, v, np.inf).min(1)
+        # straddling boxes (corners on both sides of the camera plane) have
+        # an unbounded projected footprint — never cull them by image
+        # borders
+        all_front = front.all(1)
+        out = (((u_lo < -pad_px) | (u_hi >= im_w + pad_px)
+                | (v_lo < -pad_px) | (v_hi >= im_h + pad_px)) & all_front)
+        keep = any_front & ~out
+        # a box straddling the camera plane can contain arbitrarily-near
+        # interior voxels even when its front corners are far — its near
+        # bound is 0, never the corner minimum
+        z_near = np.where(all_front, np.where(front, z, np.inf).min(1), 0.0)
+        if max_depth is not None:
+            keep = keep & (z_near <= max_depth)
+        return keep, z_near, u, v, front, all_front
+
+    n_tiles = nx * ny * nz
+    s = 4 if n_tiles >= 4096 else 1
+    if s > 1:
+        sx, sy, sz = (nx + s - 1) // s, (ny + s - 1) // s, (nz + s - 1) // s
+        gx, gy, gz = np.meshgrid(np.arange(sx), np.arange(sy),
+                                 np.arange(sz), indexing="ij")
+        sbase = np.stack([gx, gy, gz], -1).reshape(-1, 3) * (s * t)
+        skeep = corner_test(sbase, s * t)[0]
+        child = np.stack(np.meshgrid(np.arange(s), np.arange(s),
+                                     np.arange(s), indexing="ij"),
+                         -1).reshape(-1, 3) * t
+        base = (sbase[skeep][:, None, :] + child[None, :, :]).reshape(-1, 3)
+        inside = ((base[:, 0] < nx * t) & (base[:, 1] < ny * t)
+                  & (base[:, 2] < nz * t))
+        base = base[inside]
+    else:
+        gx, gy, gz = np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij")
+        base = np.stack([gx, gy, gz], -1).reshape(-1, 3) * t  # [N, 3]
+
+    keep, z_near, u, v, front, all_front = corner_test(base, t)
     if depth_map is not None and keep.any():
         # block-max depth pyramid (32 px blocks, zeros = invalid ignored)
         blk = 32
@@ -654,13 +706,17 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
         bv0 = np.where(all_front, bv0, 0)
         bu1 = np.where(all_front, bu1, nbw - 1)
         bv1 = np.where(all_front, bv1, nbh - 1)
-        # 2D prefix max is overkill; AABBs are small — use a summed-area
-        # style loop only over kept tiles
+        # vectorized regional max: the block grid is tiny (~300 cells at
+        # 640x480), so a [kept_tiles, blocks] membership-mask max beats a
+        # python loop over tiles ~100x on the 1-core host
         ki = np.flatnonzero(keep)
-        reg_max = np.empty(len(ki))
-        for j, i in enumerate(ki):
-            reg_max[j] = dmax_blk[bv0[i]:bv1[i] + 1,
-                                  bu0[i]:bu1[i] + 1].max()
+        bi = np.arange(nbh * nbw)
+        br, bc = bi // nbw, bi % nbw
+        member = ((br[None, :] >= bv0[ki, None])
+                  & (br[None, :] <= bv1[ki, None])
+                  & (bc[None, :] >= bu0[ki, None])
+                  & (bc[None, :] <= bu1[ki, None]))
+        reg_max = np.where(member, dmax_blk.reshape(-1)[None, :], 0.0).max(1)
         far = z_near[ki] > lam_max * (reg_max + trunc)
         # tiles whose AABB saw only invalid depth (max 0) update nothing
         dead = reg_max <= 0

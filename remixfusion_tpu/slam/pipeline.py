@@ -126,6 +126,9 @@ class RemixFusionTPU:
         from concurrent.futures import ThreadPoolExecutor
         self._sel_pool = ThreadPoolExecutor(max_workers=1)
         self._lookahead_sel = None
+        # Look-ahead integrate tile selection: (kf_id, pose snapshot,
+        # future) queued during track_frame, consumed by mapping_round.
+        self._integrate_la = None
         # Deferred BA write-back: (device poses_all, cur_kf_id, cur_frame_id)
         # applied one round late — matching the reference's cross-process
         # staleness (mp_slam/mapper.py:510-520 writes back while the tracker
@@ -266,14 +269,15 @@ class RemixFusionTPU:
             mv.set_dense_state(dense)
         jax.block_until_ready(mv.state.tsdf)
 
-        # tiled global-integrate budgets (dummy donated grids) — all
-        # 64-granular budgets the mapper can emit
+        # tiled global-integrate budgets (dummy donated grids) — every
+        # eighth-of-grid bucket the mapper can emit
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if tile is not None:
             n_total = (R // tile) ** 3
-            budget = 64
-            while budget < n_total:
+            for budget in tsdf_ops.global_budget_buckets(n_total):
+                if budget >= n_total:
+                    continue
                 ikey = ("tiled", im_h, im_w, tile, budget)
                 if ikey not in self.mapper._integrate_fns:
                     self.mapper._integrate_fns[ikey] = \
@@ -288,7 +292,18 @@ class RemixFusionTPU:
                     jnp.asarray(1.0, jnp.float32))
                 jax.block_until_ready(gv)
                 del gv, gw
-                budget += 64
+        # dense fallback (selection above 7/8 of the tiles, or no tile size)
+        dkey = (im_h, im_w)
+        if dkey not in self.mapper._integrate_fns:
+            self.mapper._integrate_fns[dkey] = \
+                self.mapper._build_integrate_kf(im_h, im_w)
+        gv, gw = self.mapper._integrate_fns[dkey](
+            jnp.zeros_like(self.buffers.gbv),
+            jnp.zeros_like(self.buffers.gbw), dep, rgb, self.K_dev, pose,
+            jnp.asarray(self.bound, jnp.float32),
+            jnp.asarray(1.0, jnp.float32))
+        jax.block_until_ready(gv)
+        del gv, gw
 
         # map/BA ray-bucket variants (copied params, snapshotted optimizers)
         m = self.config["mapping"]
@@ -596,7 +611,29 @@ class RemixFusionTPU:
         except AttributeError:
             pass
         self._pending_track = (frame_id, res, init)
-        if _st: _st.stop("t_dispatch"); _st.start("t_prefetch")
+        if _st: _st.stop("t_dispatch"); _st.start("t_la_integ")
+        # Queue the upcoming mapping round's integrate tile selection on
+        # the worker: the ~10-20 ms of frustum/depth-cull numpy otherwise
+        # lands between the round's dispatches, where it can drain the
+        # device queue. The pose (harvested) and depth (host cache) of the
+        # keyframe are already on the host.
+        map_every = self.config["mapping"]["map_every"]
+        kf_every = self.config["mapping"]["keyframe_every"]
+        if self.tracking_idx > self.mapping_idx + map_every:
+            cur = self.mapping_idx + kf_every
+            if (cur % kf_every == 0 and cur <= self.tracking_idx
+                    and (self._integrate_la is None
+                         or self._integrate_la[0] != cur)):
+                kf_batch = self._frame_cache.get(cur)
+                if kf_batch is not None:
+                    pose_kf = self.est_c2w_data[cur].copy()
+                    fut = self._sel_pool.submit(
+                        self.mapper.select_integrate_tiles,
+                        np.asarray(kf_batch["depth"]), pose_kf,
+                        np.asarray(self.dataset.K()), self.bound,
+                        im_h, im_w)
+                    self._integrate_la = (cur, pose_kf, fut)
+        if _st: _st.stop("t_la_integ"); _st.start("t_prefetch")
         # Upload the NEXT frame after this dispatch: the transfer rides
         # under this frame's device compute and is long done before the
         # fuser of frame+1 executes.
@@ -711,10 +748,18 @@ class RemixFusionTPU:
             if _st: _st.stop("m_i_rba"); _st.start("m_i_get")
             dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
             if _st: _st.stop("m_i_get"); _st.start("m_i_fuse")
+            la = self._integrate_la
+            self._integrate_la = None
+            pre = None
+            if (la is not None and la[0] == cur_frame_id
+                    and np.array_equal(la[1],
+                                       self.est_c2w_data[cur_frame_id])):
+                pre = la[2].result()
             self.buffers = self.mapper.integrate_keyframe(
                 self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound,
                 host_depth=batch["depth"],
-                host_c2w=self.est_c2w_data[cur_frame_id])
+                host_c2w=self.est_c2w_data[cur_frame_id],
+                precomputed_tiles=pre)
             if _st: _st.stop("m_i_fuse")
 
         if _st: _st.stop("m_integrate"); _st.start("m_map")

@@ -37,12 +37,13 @@ def main():
     from remixfusion_tpu.config import load_config
     from remixfusion_tpu.models.scene_rep import SceneRepresentation
 
-    cfg = load_config("configs/Synthetic/synthetic_fast.yaml")
+    cfg = load_config(sys.argv[1] if len(sys.argv) > 1 else "configs/Synthetic/synthetic.yaml")
     bound = np.asarray(cfg["mapping"]["bound"], np.float32)
     scene = SceneRepresentation(cfg, bound, num_kf=64)
     key = jax.random.PRNGKey(0)
-    params = scene.init_params(key)
-    buffers = scene.init_buffers()
+    params, buffers = scene.init(key)
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+    buffers = buffers._replace(gbq=_pack_gbq(buffers.gbv))
 
     n_rays = 2048 + 512
     n_samples = 59
@@ -52,21 +53,21 @@ def main():
     pts = jax.random.uniform(key, (N, 3), jnp.float32, 0.05, 0.95)
 
     # --- residual encoder fwd+bwd ---
-    enc = scene.embed_fn
+    enc = scene.embed_res_fn
 
     def enc_loss(p, x):
         return jnp.sum(enc(p, x) ** 2)
 
-    g = jax.jit(jax.value_and_grad(lambda p: enc_loss(p, pts)))
-    ms = timeit(g, params.hash_table)
+    g = jax.jit(jax.value_and_grad(enc_loss))
+    ms = timeit(g, params.hash_table, pts)
     print(f"residual encoder ({cfg['grid']['enc']}) fwd+bwd: {ms:.2f} ms")
 
-    f = jax.jit(lambda p: enc(p, pts))
-    ms = timeit(f, params.hash_table)
+    f = jax.jit(lambda p, x: enc(p, x))
+    ms = timeit(f, params.hash_table, pts)
     print(f"residual encoder forward: {ms:.2f} ms")
 
     # --- explicit grid query (gbq oct-packed trilinear) ---
-    fq = jax.jit(lambda b, x: scene.query_explicit(b, x))
+    fq = jax.jit(lambda b, x: scene.query_gbvw_fast(b, x))
     ms = timeit(fq, buffers, pts)
     print(f"explicit gbq trilinear query: {ms:.2f} ms")
 
@@ -77,14 +78,14 @@ def main():
     target_rgb = jnp.ones((n_rays, 3)) * 0.5
     target_d = jnp.ones((n_rays, 1)) * 1.5
 
-    def full_loss(p):
-        ret = scene.mapping_losses(p, buffers, key, rays_o, rays_d,
+    def full_loss(p, b, ro, rd):
+        ret = scene.mapping_losses(p, b, key, ro, rd,
                                    target_rgb, target_d)
         return (ret["rgb_res_loss"] + ret["depth_res_loss"]
                 + ret["sdf_res_loss"] + ret["fs_res_loss"])
 
     gf = jax.jit(jax.value_and_grad(full_loss))
-    ms = timeit(gf, params)
+    ms = timeit(gf, params, buffers, rays_o, rays_d)
     print(f"full mapping_losses fwd+bwd: {ms:.2f} ms")
 
 
