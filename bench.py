@@ -114,6 +114,10 @@ def main():
             print(f"#   slow frame={warmup + i} t={times[i]:.2f}s "
                   f"mapped={bool(mapped[i])} at={stamps[i]}", file=sys.stderr)
 
+    fb = slam.stats.get("fuse_bucket")
+    if fb:
+        from collections import Counter
+        print(f"# fuse buckets: {dict(Counter(fb))}", file=sys.stderr)
     track_ms = 1000 * np.mean(slam.stats["track_time"][warmup:])
     map_ms = (1000 * np.mean(slam.stats["map_time"][-20:])
               if slam.stats["map_time"] else 0.0)

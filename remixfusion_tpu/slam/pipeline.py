@@ -116,9 +116,42 @@ class RemixFusionTPU:
         self._rng = jax.random.PRNGKey(config.get("seed", 42))
         self._np_rng = np.random.default_rng(config.get("seed", 42))
 
-        # In-flight tracked frame awaiting its pose readback (see
-        # _harvest_pending_track).
-        self._pending_track = None
+        # In-flight tracked frames awaiting their pose readback, oldest
+        # first (see _harvest_pending_track). With the device-side pose
+        # chain the dispatch of frame i needs NO host pose, so the queue
+        # runs harvest_depth deep and the blocking readback is always for
+        # a pose the device finished long ago.
+        self._pending_track = []
+        self._harvest_depth = int(config["tracking"].get("harvest_depth", 2))
+        # Device-resident pose chain (RO poses of the last two dispatched
+        # frames) feeding the in-jit const-speed prediction.
+        self._dev_pose_prev = None
+        self._dev_pose_prev2 = None
+        # Last two HARVESTED (frame_id, pose) pairs for host-side pose
+        # extrapolation (re-center policy, brick selection).
+        self._last_harvested = []
+        const_speed = bool(config["tracking"]["const_speed"])
+
+        def predict_dev(prev, prev2):
+            """In-jit const-speed prediction (reference tracker.py:54-72):
+            pred = (prev @ inv(prev2)) @ prev, rotation SVD-orthogonalized
+            with a det-sign fix. prev == prev2 degenerates to prev."""
+            if not const_speed:
+                return prev
+            R1, t1 = prev[:3, :3], prev[:3, 3]
+            R2, t2 = prev2[:3, :3], prev2[:3, 3]
+            Rd = R1 @ R2.T
+            td = t1 - Rd @ t2
+            Rp = Rd @ R1
+            tp = Rd @ t1 + td
+            U, _, Vt = jnp.linalg.svd(Rp)
+            s = jnp.sign(jnp.linalg.det(U @ Vt))
+            S = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) .at[2].set(s))
+            out = jnp.eye(4, dtype=jnp.float32)
+            out = out.at[:3, :3].set((U @ S @ Vt).astype(jnp.float32))
+            return out.at[:3, 3].set(tp.astype(jnp.float32))
+
+        self._predict_dev = jax.jit(predict_dev)
         # Worker thread for look-ahead brick selection: the main thread
         # spends ~100 ms/frame blocked on the device inside the harvest;
         # the selector's numpy work rides in that window (single core is
@@ -445,17 +478,27 @@ class RemixFusionTPU:
         if not hasattr(self, "_track_jits"):
             self._track_jits = {}
         if tkey not in self._track_jits:
+            # The tracker reads a throwaway dense view of the volume each
+            # frame (the state stays brick-major f32 for fusion). In bf16
+            # the bm_to_dense transpose + quad-pack mirror halve their HBM
+            # traffic (~12 -> ~6 ms/frame, xprof-measured); candidate
+            # scores shift <0.4% which is far inside the brick-mode
+            # divergence envelope (BASELINE.md). volume.track_dtype
+            # restores float32 for strict score parity.
+            dt = self.config["volume"].get("track_dtype", "bfloat16")
+            cast = (lambda t: t.astype(jnp.bfloat16)) \
+                if dt == "bfloat16" else (lambda t: t)
             if mv.brick:
                 from remixfusion_tpu.ops.tsdf import bm_to_dense
                 b = mv.brick
                 dims = mv.dims
 
                 def conv(t):
-                    return bm_to_dense(t.reshape(-1, b ** 3),
+                    return bm_to_dense(cast(t).reshape(-1, b ** 3),
                                        dims, b).reshape(-1)
             else:
                 def conv(t):
-                    return t.reshape(-1)
+                    return cast(t).reshape(-1)
             self._track_jits[tkey] = jax.jit(
                 lambda tsdf, origin, init_pose, depth, key, ss:
                 tracker._track(conv(tsdf), origin, init_pose, depth,
@@ -510,19 +553,27 @@ class RemixFusionTPU:
                 return res, t2, w2, c2
         return step
 
-    def _harvest_pending_track(self):
-        """Collect the previous frame's tracked pose (dispatched last call)
-        and run its host bookkeeping. Deferring the readback by one frame
-        removes the per-frame blocking sync: by the time the next frame
-        needs pose i-1 (prediction, selection, re-center), the result has
-        already streamed back. This is the same one-frame pose staleness the
-        reference's two-process design has between tracker and mapper."""
-        pending = self._pending_track
-        if pending is None:
-            return
-        self._pending_track = None
-        frame_id, res, init = pending
+    def _harvest_pending_track(self, keep: int = 0):
+        """Collect tracked poses from the pending queue (oldest first) and
+        run their host bookkeeping, leaving at most `keep` entries pending.
+
+        The queue is harvest_depth deep and the track dispatch consumes the
+        device pose chain directly (prediction in-jit), so no dispatch ever
+        waits on a readback; the blocking np.asarray here is for a pose the
+        device produced ~2 frames of compute ago, i.e. already streamed.
+        Host consumers of poses (re-center policy, brick/tile selection)
+        run on extrapolations from the harvested frontier — the reference's
+        two-process design has the same pose staleness between tracker and
+        mapper (mp_slam/mapper.py:510-520)."""
+        out = None
+        while len(self._pending_track) > keep:
+            out = self._harvest_one()
+        return out
+
+    def _harvest_one(self):
+        frame_id, res, init = self._pending_track.pop(0)
         c2w = np.asarray(res.c2w)
+        self._last_harvested = (self._last_harvested + [(frame_id, c2w)])[-2:]
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w
 
@@ -557,20 +608,44 @@ class RemixFusionTPU:
         self.tracking_idx = frame_id
         return c2w
 
+    def _host_pose_estimate(self, frame_id: int) -> np.ndarray:
+        """Host-side pose estimate for frame_id extrapolated from the last
+        two HARVESTED poses (const-speed delta applied per remaining frame,
+        SVD re-orthogonalized — same math as predict_current_pose). Used
+        only where mm accuracy is irrelevant: the ~1 m re-center thresholds
+        and the margin-padded brick/tile selection."""
+        lh = self._last_harvested
+        if not lh:
+            return self.est_c2w_data[0].copy()
+        if len(lh) < 2 or not self.config["tracking"]["const_speed"]:
+            return lh[-1][1].copy()
+        (i2, p2), (i1, p1) = lh[0], lh[1]
+        p1 = p1.astype(np.float64)
+        delta = p1 @ np.linalg.inv(p2.astype(np.float64))
+        steps = max(frame_id - i1, 0)
+        pred = np.linalg.matrix_power(delta, steps) @ p1
+        U, _, Vt = np.linalg.svd(pred[:3, :3])
+        S = np.eye(3)
+        S[2, 2] = np.sign(np.linalg.det(U @ Vt))
+        out = np.eye(4, dtype=np.float32)
+        out[:3, :3] = (U @ S @ Vt).astype(np.float32)
+        out[:3, 3] = pred[:3, 3].astype(np.float32)
+        return out
+
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
         _st = self._stage_timer  # None unless REMIX_TIMERS=1
         if _st: _st.start("t_harvest")
-        # Block on the PREVIOUS frame's pose (tiny, already async-copied) —
-        # the natural backpressure point; everything below overlaps the
-        # device still working on this queue.
-        self._harvest_pending_track()
+        # Drain the pending queue down to harvest_depth-1 (so this frame's
+        # entry fits): the popped pose is ~harvest_depth frames old and
+        # long since streamed back — near-zero block.
+        self._harvest_pending_track(keep=self._harvest_depth - 1)
         if _st: _st.stop("t_harvest"); _st.start("t_pre")
         self._cache_frame(frame_id, batch)
-        init = self.predict_current_pose(frame_id)
+        init = self._host_pose_estimate(frame_id)
 
-        # Re-center policy evaluated on the PREDICTED pose (mm accuracy vs a
-        # 1 m threshold) so the shift happens before the fused dispatch.
+        # Re-center policy evaluated on the extrapolated pose (mm accuracy
+        # vs a 1 m threshold) so the shift happens before the dispatch.
         self.mv.check_move(frame_id, init)
 
         im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
@@ -586,6 +661,7 @@ class RemixFusionTPU:
             else:
                 offsets, bucket = self._frame_bricks(init, batch["depth"])
             mode = ("brick", bucket)
+            self.stats.setdefault("fuse_bucket", []).append(bucket)
         else:
             offsets, tiled = self._frame_tiles(init, im_h, im_w,
                                                depth=batch["depth"])
@@ -598,19 +674,30 @@ class RemixFusionTPU:
         st = self.mv.state
         dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch)
         if _st: _st.stop("t_select"); _st.start("t_dispatch")
+        # Init pose from the DEVICE pose chain (in-jit const-speed
+        # prediction) — the dispatch depends on no host readback, so the
+        # device queue never drains between frames (xprof before this:
+        # ~19 ms/frame idle waiting on the harvested pose).
+        if self._dev_pose_prev is None:
+            self._dev_pose_prev = jnp.asarray(self.est_c2w_data[0])
+            self._dev_pose_prev2 = self._dev_pose_prev
+        init_dev = self._predict_dev(self._dev_pose_prev,
+                                     self._dev_pose_prev2)
         res, tsdf, weight, color = self._tf_fns[key](
             st.tsdf, st.weight, st.color, st.origin, offsets,
             dep_dev, rgb_dev,
-            self.K_dev, jnp.asarray(init), self._next_key(),
+            self.K_dev, init_dev, self._next_key(),
             self.tracker.init_search_size())
         from remixfusion_tpu.ops.tsdf import VolumeState
         self.mv.state = VolumeState(tsdf, weight, color, st.origin)
+        self._dev_pose_prev2 = self._dev_pose_prev
+        self._dev_pose_prev = res.c2w
         try:
             # stream the pose back while the host moves on
             res.c2w.copy_to_host_async()
         except AttributeError:
             pass
-        self._pending_track = (frame_id, res, init)
+        self._pending_track.append((frame_id, res, init))
         if _st: _st.stop("t_dispatch"); _st.start("t_la_integ")
         # Queue the upcoming mapping round's integrate tile selection on
         # the worker: the ~10-20 ms of frustum/depth-cull numpy otherwise
@@ -642,16 +729,13 @@ class RemixFusionTPU:
             try:
                 nxt_batch = self._get_frame(nxt)
                 self._dev_frames.prefetch(nxt, nxt_batch)
-                if self.mv.brick and frame_id >= 2:
+                if self.mv.brick and len(self._last_harvested) >= 2:
                     # Queue the NEXT frame's brick selection on the worker:
-                    # pose extrapolated one step further than the tracker's
-                    # own prediction (pose i is still on the device);
-                    # selector margins absorb the extra frame of motion.
-                    # Discarded on a re-center (origin snapshot mismatch).
-                    p1 = self.est_c2w_data[frame_id - 1].astype(np.float64)
-                    p2 = self.est_c2w_data[frame_id - 2].astype(np.float64)
-                    delta = p1 @ np.linalg.inv(p2)
-                    pred = (delta @ delta @ p1).astype(np.float32)
+                    # pose extrapolated from the harvested frontier (the
+                    # newest poses live on the device); selector margins
+                    # absorb the extra frames of motion. Discarded on a
+                    # re-center (origin snapshot mismatch).
+                    pred = self._host_pose_estimate(nxt)
                     origin = self.mv.vol_bnds[:, 0].copy()
                     phase = self.mv._fs_phase
                     fut = self._sel_pool.submit(
@@ -836,6 +920,16 @@ class RemixFusionTPU:
         """Trajectory dump, final ATE, checkpoint, final mesh
         (reference mapper.py:930-950)."""
         self._harvest_pending_track()
+        # drain mapping rounds the deferred harvest kept behind the
+        # tracking frontier (the reference's mapper maps until the tracker
+        # stops, mapper.py:874-880)
+        map_every = self.config["mapping"]["map_every"]
+        kf_every = self.config["mapping"]["keyframe_every"]
+        while self.tracking_idx > self.mapping_idx + map_every:
+            cur = self.mapping_idx + kf_every
+            if cur >= self.dataset.num_frames:
+                break
+            self.mapping_round(cur)
         self._apply_pending_ba()
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)

@@ -544,6 +544,9 @@ class ROTracker:
 
         vol = vol if isinstance(vol, tuple) else (vol, None)
         bricks = self._fetch_windows(vol, base, side)  # [P, 64]
+        # volume may ride in bf16 (pipeline track view); the kernel math
+        # stays f32 — the cast touches only the fetched windows
+        bricks = bricks.astype(jnp.float32)
 
         n_pix = g.shape[0]
         pad_p = (-n_pix) % PIX_TILE

@@ -104,14 +104,20 @@ class MovingVolume:
                 ((nb + 255) // 256) * 256,
                 max(256, int(math.ceil(nb * frac / 256.0)) * 256))
             self.fs_every = int(v.get("freespace_every", 4))
-            # compile one fuser per power-of-two budget bucket; per frame we
-            # pick the smallest bucket that fits the actual selection, so
-            # padding waste stays < 2x
+            # compile one fuser per budget bucket; per frame we pick the
+            # smallest bucket that fits the actual selection. Powers of two
+            # up to 2048, then 1024 steps: padded rows pay full per-voxel
+            # fusion cost, and steady-state selections sit in the 2-5k
+            # range where pow2 rounding wasted up to 35% (measured ~6 ms
+            # of the ~25 ms fuse at bucket 4096)
             self.brick_buckets = []
             bb = 256
-            while bb < self.brick_budget:
+            while bb < min(self.brick_budget, 2048):
                 self.brick_buckets.append(bb)
                 bb *= 2
+            while bb < self.brick_budget:
+                self.brick_buckets.append(bb)
+                bb += 1024
             self.brick_buckets.append(self.brick_budget)
         self._brick_fns: Dict = {}
         self._fs_phase = 0

@@ -364,7 +364,10 @@ def test_oct_packed_gbv_query_matches_direct():
     pts = jnp.asarray(rng.uniform(0.01, 0.99, (512, 3)).astype(np.float32))
     a = np.asarray(scene.query_gbvw_fast(buf_direct, pts))
     b = np.asarray(scene.query_gbvw_fast(buf_packed, pts))
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    # the mirror is intentionally bf16 (a throwaway read view; see
+    # mapper._pack_gbq) — corner values carry <= 2^-8 relative error
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
+    assert np.abs(a - b).mean() < 4e-3
     # and the direct components agree with query_gbv
     v = np.asarray(scene.query_gbv(gbv, pts))
     np.testing.assert_allclose(a, v, atol=1e-6)
