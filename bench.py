@@ -63,10 +63,20 @@ def main():
     _touch = jax.jit(lambda x: x.reshape(-1)[:1].astype(jnp.float32))
     np.asarray(_touch(slam.mv.state.weight))
     np.asarray(_touch(jax.tree_util.tree_leaves(slam.params)[0]))
+    # REMIX_PROFILE=1: capture an xprof trace of 10 steady-state frames
+    # (written under output/bench/xprof; open with xprof/tensorboard or
+    # parse vm.trace.json.gz — scripts/profile_steps.py shows how)
+    prof = os.environ.get("REMIX_PROFILE") == "1"
+    prof_range = (warmup + 10, warmup + 20)
     frame_times = []
     frame_mapped = []
     frame_stamps = []
     for idx in range(1, n_frames):
+        if prof and idx == prof_range[0]:
+            jax.profiler.start_trace("output/bench/xprof")
+        if prof and idx == prof_range[1]:
+            jax.block_until_ready(slam.mv.state.tsdf)
+            jax.profiler.stop_trace()
         t_f = time.perf_counter()
         frame_stamps.append(time.strftime("%H:%M:%S"))
         # Seed the host cache so the in-loop device prefetch of idx+1 finds

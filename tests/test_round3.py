@@ -195,3 +195,40 @@ def test_perceptual_distance_fallback_kind():
     else:
         assert kind == "rf_perceptual"
     assert np.isfinite(v)
+
+
+def test_marching_tetrahedra_fscore_stable_across_resolutions():
+    """VERDICT round-2 item 6: with no skimage in-env for a direct
+    marching-cubes comparison, bound the extractor the other way — the
+    F-score of the tetrahedra extraction against the ANALYTIC surface must
+    be near-perfect at every grid resolution and stable (<1% spread)
+    across resolutions, so an extractor-induced F-score shift on real
+    reconstructions is bounded by the same margin (reference runtime path
+    utils.py:168 uses skimage marching cubes)."""
+    import numpy as np
+    from remixfusion_tpu.ops.marching_cubes import marching_cubes
+    from remixfusion_tpu.tools.eval_recon import completion_ratio, sample_surface
+
+    rng = np.random.default_rng(7)
+    f1s = []
+    for n in (24, 32, 48):
+        c = np.full(3, n / 2.0)
+        r = n / 3.5
+        ii, jj, kk = np.mgrid[0:n, 0:n, 0:n].astype(np.float64)
+        sdf = np.sqrt((ii - c[0]) ** 2 + (jj - c[1]) ** 2
+                      + (kk - c[2]) ** 2) - r
+        verts, faces = marching_cubes(sdf.astype(np.float32), 0.0)
+        rec = sample_surface(verts, faces, 20000)
+        # analytic GT surface samples of the same sphere
+        d = rng.standard_normal((20000, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        gt = c[None] + r * d
+        # threshold = half a voxel, the linear-interp error envelope
+        th = 0.5
+        acc = completion_ratio(rec, gt, th)    # rec -> gt
+        comp = completion_ratio(gt, rec, th)   # gt -> rec
+        f1 = 2 * acc * comp / max(acc + comp, 1e-9)
+        f1s.append(float(f1))
+    f1s = np.asarray(f1s)
+    assert f1s.min() > 0.99, f1s
+    assert f1s.max() - f1s.min() < 0.01, f1s
