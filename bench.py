@@ -28,11 +28,15 @@ def main():
     from remixfusion_tpu.config import load_config
     from remixfusion_tpu.slam import RemixFusionTPU
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "120"))
+    # 200 frames (170 steady) halves the run-to-run spread of the shorter
+    # 120-frame window (tunnel/queue jitter is ±1.5 FPS on 90 frames); the
+    # default config is the SHIPPED representation (CPGrid residual field +
+    # pallas tracking — what configs/BS3D etc. run), not a speed profile.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
     warmup = int(os.environ.get("BENCH_WARMUP", "30"))
 
     cfg_name = os.environ.get("BENCH_CONFIG",
-                              "configs/Synthetic/synthetic_fast.yaml")
+                              "configs/Synthetic/synthetic_bench.yaml")
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    cfg_name))
     cfg["data"]["synthetic"]["n_frames"] = n_frames
@@ -103,14 +107,12 @@ def main():
     mapped = np.asarray(frame_mapped[warmup - 1:])
     # Steady-state throughput with ZERO exclusions: every steady-state
     # frame counts, including the final frame's device-queue drain. Frames
-    # above 3x their class median (mapping-round frames vs plain tracked
-    # frames) are REPORTED as probable compile stalls so an incomplete
-    # prewarm is visible — but they still count against the number.
-    ok = np.ones(len(times), bool)
-    for cls in (mapped, ~mapped):
-        if cls.any():
-            med = float(np.median(times[cls]))
-            ok &= ~cls | (times <= 3.0 * med)
+    # above 1 s are REPORTED as probable compile stalls so an incomplete
+    # prewarm is visible (the pipelined loop's normal frame times are
+    # bimodal — fast dispatch-only frames vs backpressure frames — so a
+    # median multiple would flag healthy frames; a compile on this tunnel
+    # is >= seconds) — but they still count against the number.
+    ok = times <= 1.0
     n_stall = int((~ok).sum())
     elapsed = float(times.sum())
     measured_frames = len(times)
