@@ -402,6 +402,18 @@ class Mapper:
         sampler = self._sampler(R, sample, n_cur)
 
         def loss_fn(params, buffers, rays, ids, key):
+            # The BA optimizer updates ONLY the RBA MLP (rba_tx zeroes the
+            # rest, exactly like the reference's rba_optimizer over
+            # model.rba.parameters(), slam.py:280-286) — so gradients to
+            # the field tables/decoders are computed-and-discarded in the
+            # reference (mapper.py:489-507). stop_gradient makes that
+            # explicit and lets XLA skip the dead table backward, and the
+            # smoothness term drops entirely: its sample points are
+            # pose-independent, so its gradient wrt RBA is identically
+            # zero — the parameter updates are bit-identical either way.
+            params = params._replace(
+                hash_table=jax.lax.stop_gradient(params.hash_table),
+                decoder=jax.lax.stop_gradient(params.decoder))
             poses_all = scene.rba(params.rba, buffers.rba, all_ids)
             per_ray = poses_all[ids]
             dirs = rays[:, :3]
@@ -412,7 +424,7 @@ class Mapper:
             ret = scene.mapping_losses(
                 params, buffers, k1, rays_o, rays_d,
                 rays[:, 3:6], rays[:, 6:7], clamp=True)
-            return self._weighted_loss(ret, True, params, buffers, k2)
+            return self._weighted_loss(ret, False, params, buffers, k2)
 
         @partial(jax.jit, donate_argnums=(0, 2))
         def step(params, buffers, opt_state, kf_rays, n_kf, dirs_flat,
