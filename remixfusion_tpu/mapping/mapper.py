@@ -216,19 +216,20 @@ class Mapper:
             offs = None
 
         if offs is not None:
-            ikey = ("tiled", im_h, im_w, tile, budget)
+            ikey = ("tm", im_h, im_w, tile, budget)
             if ikey not in self._integrate_fns:
                 self._integrate_fns[ikey] = \
-                    tsdf_ops.make_global_tiled_integrator(
+                    tsdf_ops.make_global_tiled_integrator_tm(
                         R, tile, budget, im_h=im_h, im_w=im_w,
                         trunc_margin=self.config["training"]["c_trunc"])
-            gbv, gbw = self._integrate_fns[ikey](
-                buffers.gbv, buffers.gbw, jnp.asarray(offs),
+            gbv_tm, gbw_tm = self.ensure_tile_major(buffers, tile)
+            gbv_tm, gbw_tm, gbv, gbw, gbq = self._integrate_fns[ikey](
+                gbv_tm, gbw_tm, jnp.asarray(offs),
                 jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
                 jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
                 jnp.asarray(obs_weight, jnp.float32))
             return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                                gbq=_pack_gbq(gbv))
+                                gbq=gbq, gbv_tm=gbv_tm, gbw_tm=gbw_tm)
 
         key = (im_h, im_w)
         if key not in self._integrate_fns:
@@ -238,8 +239,24 @@ class Mapper:
             jnp.asarray(K), jnp.asarray(c2w),
             jnp.asarray(bound, jnp.float32),
             jnp.asarray(obs_weight, jnp.float32))
+        # the dense sweep invalidates the tile-major primary (rebuilt
+        # lazily on the next tiled keyframe)
         return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                                gbq=_pack_gbq(gbv))
+                            gbq=_pack_gbq(gbv))
+
+    def ensure_tile_major(self, buffers: SceneBuffers, tile: int):
+        """(gbv_tm, gbw_tm) for the tiled integrator — the buffers' copies
+        when live, else rebuilt from the dense mirrors (first keyframe,
+        checkpoint load, after a dense-sweep fallback)."""
+        if buffers.gbv_tm is not None:
+            return buffers.gbv_tm, buffers.gbw_tm
+        R = self.scene.gbv_resolution
+        key = ("to_tm", R, tile)
+        if key not in self._integrate_fns:
+            to_tm, _ = tsdf_ops.tile_major_view(R, tile)
+            self._integrate_fns[key] = jax.jit(
+                lambda v, w: (to_tm(v), to_tm(w)))
+        return self._integrate_fns[key](buffers.gbv, buffers.gbw)
 
     def reset_global_volume(self, buffers: SceneBuffers) -> SceneBuffers:
         """clean_tsdf semantics: tsdf=1, rgb=0, weights=0

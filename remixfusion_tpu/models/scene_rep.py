@@ -57,6 +57,14 @@ class SceneBuffers(NamedTuple):
     # every explicit-grid update; None = fall back to the direct 8-corner
     # path (mesh/eval tools, tests).
     gbq: jnp.ndarray | None = None
+    # Tile-major PRIMARY copies [(R/t)^3, t^3(, 4)] owned by the tiled
+    # keyframe integrator (mapper.integrate_keyframe): updating tiles as
+    # plain rows skips the ~30 ms/keyframe transpose pair the dense layout
+    # forces (ops.tsdf.make_global_tiled_integrator_tm). gbv/gbw above
+    # remain the dense mirrors every other consumer reads. None = rebuilt
+    # lazily from the dense copy on the next keyframe.
+    gbv_tm: jnp.ndarray | None = None
+    gbw_tm: jnp.ndarray | None = None
 
 
 class SceneRepresentation:

@@ -495,12 +495,97 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
     offsets, -1 rows padded), depth, rgb, K, c2w, bound [3,2], obs_weight).
     """
     t = int(tile)
+    to_tm, from_tm, tile_update, pack_img, tile_ids = \
+        _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def integ(gbv, gbw, offsets, depth_im, color_im, K, c2w, bound,
+              obs_weight):
+        valid_tile, o, ids = tile_ids(offsets)
+        v_tm = to_tm(gbv)
+        w_tm = to_tm(gbw)
+        vs = v_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3, 4]
+        ws = w_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3]
+        vs, ws = tile_update(vs, ws, valid_tile, o,
+                             pack_img(depth_im, color_im), K, c2w, bound,
+                             obs_weight)
+        v_tm = v_tm.at[ids].set(vs, mode="drop", unique_indices=True)
+        w_tm = w_tm.at[ids].set(ws, mode="drop", unique_indices=True)
+        return from_tm(v_tm), from_tm(w_tm)
+
+    return integ
+
+
+def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
+                                    im_h: int, im_w: int,
+                                    trunc_margin: float):
+    """Tile-major-resident variant of make_global_tiled_integrator.
+
+    The dense-in/dense-out integrator pays ~30 ms/keyframe at R=200 just
+    materializing the tile-major transpose pair around its row
+    gather/scatter (the t-length inner runs defeat lane vectorization).
+    Keeping the grid's PRIMARY copy tile-major ([NT, t^3, 4] / [NT, t^3])
+    makes the move two plain row ops; the dense mirror every other
+    consumer reads (gbq pack, render/mesh/ckpt/sharding) is emitted
+    in-program with ONE from_tm per keyframe. Same tile_update math —
+    results are bitwise identical to the dense path.
+
+    Returns integ(gbv_tm, gbw_tm, offsets, depth, rgb, K, c2w, bound,
+    obs_weight) -> (gbv_tm', gbw_tm', gbv_dense', gbw_dense');
+    to_tm(gbv_dense) rebuilds the tile-major copy (checkpoint load,
+    dense-fallback invalidation)."""
+    t = int(tile)
+    to_tm, from_tm, tile_update, pack_img, tile_ids = \
+        _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin)
+    del to_tm  # inputs are already tile-major
+
+    def oct_pack(gbv):
+        """bf16 oct-packed query mirror (see mapper._pack_gbq — kept in
+        the same program as the dense-mirror emission so XLA can fuse the
+        layout chain instead of materializing dense twice)."""
+        flat = gbv.astype(jnp.bfloat16).reshape(-1, 4)
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
+                                          axis=0))
+        return jnp.concatenate(parts, -1)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def integ(gbv_tm, gbw_tm, offsets, depth_im, color_im, K, c2w, bound,
+              obs_weight):
+        valid_tile, o, ids = tile_ids(offsets)
+        vs = gbv_tm.at[ids].get(mode="fill", fill_value=0.0)
+        ws = gbw_tm.at[ids].get(mode="fill", fill_value=0.0)
+        vs, ws = tile_update(vs, ws, valid_tile, o,
+                             pack_img(depth_im, color_im), K, c2w, bound,
+                             obs_weight)
+        gbv_tm = gbv_tm.at[ids].set(vs, mode="drop", unique_indices=True)
+        gbw_tm = gbw_tm.at[ids].set(ws, mode="drop", unique_indices=True)
+        gbv = from_tm(gbv_tm)
+        return gbv_tm, gbw_tm, gbv, from_tm(gbw_tm), oct_pack(gbv)
+
+    return integ
+
+
+def tile_major_view(R: int, tile: int):
+    """(to_tm, from_tm) converters for the tile-major global-grid layout
+    ([R, R, R(,C)] <-> [(R/t)^3, t^3(, C)])."""
+    helpers = _tiled_integrator_helpers(R, int(tile), 1, 1, 1.0)
+    return helpers[0], helpers[1]
+
+
+def _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin):
+    """Shared closures of the two tiled-integrator factories (layout
+    converters + the per-tile voxel update). Kept in one place so the
+    dense and tile-major variants cannot drift."""
     T = R // t
     NT = T ** 3
     t3 = t ** 3
     import numpy as np
     wi = np.arange(t3)
-    ii = jnp.asarray((wi // (t * t))[None], jnp.float32)   # [1, t3]
+    ii = jnp.asarray((wi // (t * t))[None], jnp.float32)
     jj = jnp.asarray(((wi // t) % t)[None], jnp.float32)
     kk = jnp.asarray((wi % t)[None], jnp.float32)
 
@@ -516,31 +601,14 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
         perm = (0, 3, 1, 4, 2, 5) + tuple(6 + i for i in range(len(ch)))
         return jnp.transpose(x, perm).reshape((R, R, R) + ch)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def integ(gbv, gbw, offsets, depth_im, color_im, K, c2w, bound,
-              obs_weight):
+    def tile_update(vs, ws, valid_tile, o, img_pack, K, c2w, bound,
+                    obs_weight):
         origin = bound[:, 0]
-        # (idx * (1/R)) * extent, in exactly fuse_frame's evaluation order,
-        # so the tiled and dense paths round identically.
         scale = bound[:, 1] - bound[:, 0]
-        img_pack = jnp.concatenate(
-            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
-
-        v_tm = to_tm(gbv)
-        w_tm = to_tm(gbw)
-        B = offsets.shape[0]
-        valid_tile = offsets[:, 0] >= 0
-        o = jnp.maximum(offsets, 0)
-        tid = ((o[:, 0] // t) * T + o[:, 1] // t) * T + o[:, 2] // t
-        ids = jnp.where(valid_tile, tid, NT + jnp.arange(B, dtype=tid.dtype))
-        vs = v_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3, 4]
-        ws = w_tm.at[ids].get(mode="fill", fill_value=0.0)   # [B, t3]
+        B = o.shape[0]
         ts, cs = vs[..., 0], vs[..., 1:]
-
         inv_r = jnp.float32(1.0 / R)
         of = o.astype(jnp.float32)
-        # literal mirror of fuse_frame's origin+idx then (p-origin)
-        # round-trip so boundary pixels round identically
         px = origin[0] + ((origin[0] + (of[:, 0:1] + ii))
                           - origin[0]) * inv_r * scale[0]
         py = origin[1] + ((origin[1] + (of[:, 1:2] + jj))
@@ -556,16 +624,13 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
         gathered = img_pack[(pyc * im_w + pxc).reshape(-1)]
         depth_val = gathered[:, 0].reshape(B, t3)
         new_c = gathered[:, 1:].reshape(B, t3, 3)
-
         vec_x = (pxc.astype(jnp.float32) - K[0, 2]) / K[0, 0]
         vec_y = (pyc.astype(jnp.float32) - K[1, 2]) / K[1, 1]
         lam = jnp.sqrt(vec_x * vec_x + vec_y * vec_y + 1.0)
-        cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y
-                            + cam_z * cam_z)
+        cam_norm = jnp.sqrt(cam_x * cam_x + cam_y * cam_y + cam_z * cam_z)
         sdf = -((cam_norm / lam) - depth_val)
         update = (valid_tile[:, None] & in_front & in_image
                   & (depth_val > 0) & (sdf >= -trunc_margin))
-
         dist = jnp.minimum(1.0, sdf / trunc_margin)
         w_new = ws + obs_weight
         inv = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
@@ -579,14 +644,22 @@ def make_global_tiled_integrator(R: int, tile: int, budget: int, *,
         ws = jnp.where(deint, 0.0, jnp.where(do_upd, w_new, ws))
         cs = jnp.where(deint[..., None], 0.0,
                        jnp.where(do_upd[..., None], fused_c, cs))
+        return jnp.concatenate([ts[..., None], cs], -1), ws
 
-        v_tm = v_tm.at[ids].set(
-            jnp.concatenate([ts[..., None], cs], -1),
-            mode="drop", unique_indices=True)
-        w_tm = w_tm.at[ids].set(ws, mode="drop", unique_indices=True)
-        return from_tm(v_tm), from_tm(w_tm)
+    def pack_img(depth_im, color_im):
+        return jnp.concatenate(
+            [depth_im.reshape(-1, 1), color_im.reshape(-1, 3)], axis=-1)
 
-    return integ
+    def tile_ids(offsets):
+        valid_tile = offsets[:, 0] >= 0
+        o = jnp.maximum(offsets, 0)
+        tid = ((o[:, 0] // t) * T + o[:, 1] // t) * T + o[:, 2] // t
+        B = offsets.shape[0]
+        ids = jnp.where(valid_tile, tid,
+                        NT + jnp.arange(B, dtype=tid.dtype))
+        return valid_tile, o, ids
+
+    return to_tm, from_tm, tile_update, pack_img, tile_ids
 
 
 def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,

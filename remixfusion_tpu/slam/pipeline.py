@@ -303,28 +303,32 @@ class RemixFusionTPU:
         jax.block_until_ready(mv.state.tsdf)
 
         # tiled global-integrate budgets (dummy donated grids) — every
-        # eighth-of-grid bucket the mapper can emit
+        # sixteenth-of-grid bucket the mapper can emit, plus the lazy
+        # tile-major rebuild
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if tile is not None:
             n_total = (R // tile) ** 3
+            t3 = tile ** 3
+            jax.block_until_ready(self.mapper.ensure_tile_major(
+                self.buffers._replace(gbv_tm=None, gbw_tm=None), tile))
             for budget in tsdf_ops.global_budget_buckets(n_total):
                 if budget >= n_total:
                     continue
-                ikey = ("tiled", im_h, im_w, tile, budget)
+                ikey = ("tm", im_h, im_w, tile, budget)
                 if ikey not in self.mapper._integrate_fns:
                     self.mapper._integrate_fns[ikey] = \
-                        tsdf_ops.make_global_tiled_integrator(
+                        tsdf_ops.make_global_tiled_integrator_tm(
                             R, tile, budget, im_h=im_h, im_w=im_w,
                             trunc_margin=self.config["training"]["c_trunc"])
-                gv, gw = self.mapper._integrate_fns[ikey](
-                    jnp.zeros_like(self.buffers.gbv),
-                    jnp.zeros_like(self.buffers.gbw),
+                out = self.mapper._integrate_fns[ikey](
+                    jnp.zeros((n_total, t3, 4), jnp.float32),
+                    jnp.zeros((n_total, t3), jnp.float32),
                     jnp.full((budget, 3), -1, jnp.int32), dep, rgb,
                     self.K_dev, pose, jnp.asarray(self.bound, jnp.float32),
                     jnp.asarray(1.0, jnp.float32))
-                jax.block_until_ready(gv)
-                del gv, gw
+                jax.block_until_ready(out[0])
+                del out
         # dense fallback (selection above 7/8 of the tiles, or no tile size)
         dkey = (im_h, im_w)
         if dkey not in self.mapper._integrate_fns:
