@@ -130,6 +130,10 @@ def main():
     if fb:
         from collections import Counter
         print(f"# fuse buckets: {dict(Counter(fb))}", file=sys.stderr)
+    la = slam.stats.get("sel_la_hit")
+    if la:
+        print(f"# selection lookahead hit rate: {np.mean(la):.2f}",
+              file=sys.stderr)
     track_ms = 1000 * np.mean(slam.stats["track_time"][warmup:])
     map_ms = (1000 * np.mean(slam.stats["map_time"][-20:])
               if slam.stats["map_time"] else 0.0)

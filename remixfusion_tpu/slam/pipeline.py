@@ -662,8 +662,10 @@ class RemixFusionTPU:
                 bricks_np, bucket = la[2].result()
                 offsets = jnp.asarray(bricks_np)
                 self.mv._fs_phase = la[3] + 1
+                self.stats.setdefault("sel_la_hit", []).append(1)
             else:
                 offsets, bucket = self._frame_bricks(init, batch["depth"])
+                self.stats.setdefault("sel_la_hit", []).append(0)
             mode = ("brick", bucket)
             self.stats.setdefault("fuse_bucket", []).append(bucket)
         else:
