@@ -72,6 +72,10 @@ def main():
     # parse vm.trace.json.gz — scripts/profile_steps.py shows how)
     prof = os.environ.get("REMIX_PROFILE") == "1"
     prof_range = (warmup + 10, warmup + 20)
+    if prof and prof_range[1] >= n_frames:
+        print("# REMIX_PROFILE needs BENCH_FRAMES > warmup+20; skipping "
+              "trace", file=sys.stderr)
+        prof = False
     frame_times = []
     frame_mapped = []
     frame_stamps = []
@@ -118,9 +122,9 @@ def main():
     measured_frames = len(times)
     fps = measured_frames / elapsed
     if n_stall:
-        print(f"# WARNING: {n_stall} frames exceeded 3x their class median "
-              f"(total {times[~ok].sum():.1f}s) — counted, not excluded",
-              file=sys.stderr)
+        print(f"# WARNING: {n_stall} frames exceeded 1 s (probable compile "
+              f"stalls; total {times[~ok].sum():.1f}s) — counted, not "
+              f"excluded", file=sys.stderr)
         stamps = frame_stamps[warmup - 1:]
         for i in np.flatnonzero(~ok):
             print(f"#   slow frame={warmup + i} t={times[i]:.2f}s "

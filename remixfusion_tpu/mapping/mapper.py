@@ -38,28 +38,13 @@ from remixfusion_tpu.ops import tsdf as tsdf_ops
 
 @jax.jit
 def _pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
-    """Oct-packed query mirror of the explicit grid: [R^3, 32] rows holding
-    the (tsdf, rgb) of all 8 trilinear corners of cell i — corner order
-    (dx, dy, dz) = 000, 001, 010, 011, 100, 101, 110, 111. A trilinear
-    query is then ONE gather row per point (TPU gathers are per-row
-    latency-priced; measured 1.8x over the previous 4-row pair packing).
-    The fusion weight is NOT packed: no hot-path query consumes it (the
-    render path uses rgb+tsdf only), and dropping it cuts the mirror and
-    its per-keyframe rebuild by 20%. The mirror is bf16: it is a
-    throwaway READ view (the f32 gbv stays the source of truth), the cast
-    halves both the per-keyframe rebuild (xprof: 13 -> ~7 ms) and the
-    mirror's HBM footprint (1 GB -> 0.5 GB at R=200), and the <=0.4%
-    quantization on tsdf/rgb corners is far below the rendering losses'
-    own sampling noise. See SceneBuffers.gbq."""
-    R = gbv.shape[0]
-    flat = gbv.astype(jnp.bfloat16).reshape(-1, 4)
-    parts = []
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
-                                      axis=0))
-    return jnp.concatenate(parts, -1)
+    """Oct-packed query mirror (see tsdf.oct_pack_gbq — the one shared
+    definition of the wire format). Used by the dense-fallback/reset/
+    checkpoint paths; the tiled keyframe integrator emits the same mirror
+    in-program. The fusion weight is NOT packed: no hot-path query
+    consumes it (the render path uses rgb+tsdf only). See
+    SceneBuffers.gbq."""
+    return tsdf_ops.oct_pack_gbq(gbv)
 
 
 def _label_tree(params: SceneParams, hash_label, decoder_label, rba_label):

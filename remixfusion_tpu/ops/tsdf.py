@@ -539,19 +539,6 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
         _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin)
     del to_tm  # inputs are already tile-major
 
-    def oct_pack(gbv):
-        """bf16 oct-packed query mirror (see mapper._pack_gbq — kept in
-        the same program as the dense-mirror emission so XLA can fuse the
-        layout chain instead of materializing dense twice)."""
-        flat = gbv.astype(jnp.bfloat16).reshape(-1, 4)
-        parts = []
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
-                                          axis=0))
-        return jnp.concatenate(parts, -1)
-
     @partial(jax.jit, donate_argnums=(0, 1))
     def integ(gbv_tm, gbw_tm, offsets, depth_im, color_im, K, c2w, bound,
               obs_weight):
@@ -564,9 +551,31 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
         gbv_tm = gbv_tm.at[ids].set(vs, mode="drop", unique_indices=True)
         gbw_tm = gbw_tm.at[ids].set(ws, mode="drop", unique_indices=True)
         gbv = from_tm(gbv_tm)
-        return gbv_tm, gbw_tm, gbv, from_tm(gbw_tm), oct_pack(gbv)
+        # gbq emitted in the same program so XLA can fuse the layout chain
+        # instead of materializing dense twice
+        return gbv_tm, gbw_tm, gbv, from_tm(gbw_tm), oct_pack_gbq(gbv)
 
     return integ
+
+
+def oct_pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
+    """bf16 oct-packed query mirror of the explicit grid: [R^3, 32] rows
+    holding the (tsdf, rgb) of all 8 trilinear corners of cell i — corner
+    order (dx, dy, dz) = 000..111. One gather row then serves a whole
+    trilinear query (TPU gathers are per-row latency-priced). bf16 because
+    the mirror is a throwaway READ view of the f32 grid (<=0.4% corner
+    quantization, half the rebuild traffic). The single definition is
+    shared by the tiled integrator (in-program) and mapper._pack_gbq
+    (dense fallback/reset/ckpt-load) so the wire format cannot drift."""
+    R = gbv.shape[0]
+    flat = gbv.astype(jnp.bfloat16).reshape(-1, 4)
+    parts = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
+                                      axis=0))
+    return jnp.concatenate(parts, -1)
 
 
 def tile_major_view(R: int, tile: int):

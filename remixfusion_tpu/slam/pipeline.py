@@ -122,7 +122,10 @@ class RemixFusionTPU:
         # runs harvest_depth deep and the blocking readback is always for
         # a pose the device finished long ago.
         self._pending_track = []
-        self._harvest_depth = int(config["tracking"].get("harvest_depth", 2))
+        # depth 1 = harvest the previous frame (no pipelining); values < 1
+        # would underflow the keep= arithmetic in track_frame
+        self._harvest_depth = max(
+            1, int(config["tracking"].get("harvest_depth", 2)))
         # Device-resident pose chain (RO poses of the last two dispatched
         # frames) feeding the in-jit const-speed prediction.
         self._dev_pose_prev = None
@@ -181,8 +184,12 @@ class RemixFusionTPU:
         # the selector must not queue behind it.
         from remixfusion_tpu.core.frames import DeviceFramePrefetcher
         self._xfer_pool = ThreadPoolExecutor(max_workers=1)
+        # cap covers the mapping round's look-back (map_every) plus the
+        # harvested-frontier lag (harvest_depth) so the round's keyframe is
+        # never evicted before its integrate revisits it
         self._dev_frames = DeviceFramePrefetcher(
-            cap=config["mapping"]["map_every"] + 3, pool=self._xfer_pool)
+            cap=config["mapping"]["map_every"] + self._harvest_depth + 3,
+            pool=self._xfer_pool)
 
         self.out_dir = os.path.join(config["data"]["output"],
                                     config["data"]["exp_name"])
@@ -488,8 +495,12 @@ class RemixFusionTPU:
             # traffic (~12 -> ~6 ms/frame, xprof-measured); candidate
             # scores shift <0.4% which is far inside the brick-mode
             # divergence envelope (BASELINE.md). volume.track_dtype
-            # restores float32 for strict score parity.
-            dt = self.config["volume"].get("track_dtype", "bfloat16")
+            # overrides; 'gather' mode defaults to float32 so the
+            # advertised exact-reference-lookup baseline stays exact.
+            dt_default = ("float32"
+                          if self.tracker.eval_mode == "gather"
+                          else "bfloat16")
+            dt = self.config["volume"].get("track_dtype", dt_default)
             cast = (lambda t: t.astype(jnp.bfloat16)) \
                 if dt == "bfloat16" else (lambda t: t)
             if mv.brick:
@@ -1046,6 +1057,10 @@ class RemixFusionTPU:
         gbw = jnp.asarray(data["gbw"])
         self.buffers = self.buffers._replace(
             gbv=gbv, gbw=gbw, gbq=_pack_gbq(gbv),
+            # drop the tile-major primaries: stale copies would override
+            # the loaded grid on the next tiled keyframe (they rebuild
+            # lazily from the dense mirrors, mapper.ensure_tile_major)
+            gbv_tm=None, gbw_tm=None,
             rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
                            jnp.asarray(data["rba_init_r"]),
                            jnp.asarray(data["rba_init_t"])))

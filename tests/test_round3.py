@@ -232,3 +232,51 @@ def test_marching_tetrahedra_fscore_stable_across_resolutions():
     f1s = np.asarray(f1s)
     assert f1s.min() > 0.99, f1s
     assert f1s.max() - f1s.min() < 0.01, f1s
+
+
+def test_tile_major_integrator_matches_dense_variant():
+    """The production keyframe integrator (tile-major primary copies,
+    ops.tsdf.make_global_tiled_integrator_tm) must reproduce the dense
+    variant bitwise — including the dense mirrors it emits and the
+    in-program gbq pack (vs mapper._pack_gbq)."""
+    import jax.numpy as jnp
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    R, t = 20, 10
+    im_h, im_w = 24, 32
+    rng = np.random.default_rng(11)
+    gbv = jnp.asarray(rng.uniform(-1, 1, (R, R, R, 4)).astype(np.float32))
+    gbw = jnp.asarray(rng.uniform(0, 3, (R, R, R)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.5, 2.0, (im_h, im_w)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(0, 1, (im_h, im_w, 3)).astype(np.float32))
+    K = jnp.asarray([[20.0, 0, 16.0], [0, 20.0, 12.0], [0, 0, 1]])
+    c2w = jnp.eye(4).at[:3, 3].set(jnp.asarray([1.0, 1.0, 0.2]))
+    bound = jnp.asarray([[0.0, 2.0]] * 3)
+
+    T = R // t
+    budget = 6
+    sel = rng.choice(T ** 3, 4, replace=False)
+    offs = np.full((budget, 3), -1, np.int32)
+    offs[:4] = np.stack(np.unravel_index(sel, (T, T, T)), -1) * t
+    offs = jnp.asarray(offs)
+
+    for ow in (1.0, -1.0):  # integrate and de-integrate
+        dense_fn = tsdf_ops.make_global_tiled_integrator(
+            R, t, budget, im_h=im_h, im_w=im_w, trunc_margin=0.25)
+        tm_fn = tsdf_ops.make_global_tiled_integrator_tm(
+            R, t, budget, im_h=im_h, im_w=im_w, trunc_margin=0.25)
+        to_tm, _ = tsdf_ops.tile_major_view(R, t)
+        owj = jnp.asarray(ow, jnp.float32)
+        dv, dw = dense_fn(gbv.copy(), gbw.copy(), offs, depth, rgb, K,
+                          c2w, bound, owj)
+        v_tm, w_tm, tv, tw, gbq = tm_fn(to_tm(gbv.copy()), to_tm(gbw.copy()),
+                                        offs, depth, rgb, K, c2w, bound, owj)
+        np.testing.assert_array_equal(np.asarray(dv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(dw), np.asarray(tw))
+        # tile-major primaries stay consistent with their dense mirrors
+        np.testing.assert_array_equal(np.asarray(to_tm(tv)), np.asarray(v_tm))
+        np.testing.assert_array_equal(np.asarray(to_tm(tw)), np.asarray(w_tm))
+        # in-program gbq == the shared pack of the dense mirror
+        np.testing.assert_array_equal(np.asarray(gbq),
+                                      np.asarray(_pack_gbq(tv)))
