@@ -119,7 +119,8 @@ class SyntheticDataset(BaseDataset):
 
             # Boxes (slab method)
             for lo, hi in self.boxes:
-                inv_d = np.where(flat_d != 0, 1.0 / flat_d, 1e30)
+                with np.errstate(divide="ignore"):
+                    inv_d = np.where(flat_d != 0, 1.0 / flat_d, 1e30)
                 t0 = (lo[None, :] - o[None, :]) * inv_d
                 t1b = (hi[None, :] - o[None, :]) * inv_d
                 tmin = np.minimum(t0, t1b).max(axis=1)

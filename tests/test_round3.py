@@ -280,3 +280,74 @@ def test_tile_major_integrator_matches_dense_variant():
         # in-program gbq == the shared pack of the dense mirror
         np.testing.assert_array_equal(np.asarray(gbq),
                                       np.asarray(_pack_gbq(tv)))
+
+
+def test_device_pose_prediction_matches_host():
+    """The in-jit const-speed prediction (pipeline._predict_dev) must match
+    the host predict_current_pose math (reference tracker.py:54-72) on
+    random pose pairs."""
+    import jax.numpy as jnp
+    from helpers import tiny_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    cfg = tiny_config(
+        data={"output": "/tmp/rf_predtest", "exp_name": "p",
+              "synthetic": {"n_frames": 3, "orbit_degrees": 5.0}},
+        mapping={"first_iters": 1, "iters": 1, "BA_iters": 1,
+                 "keyframe_every": 2, "map_every": 2, "sample": 64},
+    )
+    slam = RemixFusionTPU(cfg)
+    rng = np.random.default_rng(3)
+
+    def rand_pose():
+        from remixfusion_tpu.core.pose import axis_angle_to_matrix
+        aa = rng.normal(scale=0.2, size=3).astype(np.float32)
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+        p[:3, 3] = rng.normal(scale=0.5, size=3)
+        return p
+
+    for _ in range(5):
+        p2, p1 = rand_pose(), rand_pose()
+        dev = np.asarray(slam._predict_dev(jnp.asarray(p1),
+                                           jnp.asarray(p2)))
+        # host reference: delta = p1 inv(p2); pred = delta p1; SVD-orthonorm
+        d = p1.astype(np.float64) @ np.linalg.inv(p2.astype(np.float64))
+        pred = d @ p1
+        U, _, Vt = np.linalg.svd(pred[:3, :3])
+        S = np.eye(3)
+        S[2, 2] = np.sign(np.linalg.det(U @ Vt))
+        Rh = U @ S @ Vt
+        np.testing.assert_allclose(dev[:3, 3], pred[:3, 3], atol=2e-5)
+        # rotations compare up to f32 SVD noise
+        assert np.abs(dev[:3, :3] @ Rh.T - np.eye(3)).max() < 1e-3
+        # prev == prev2 degenerates to prev
+        same = np.asarray(slam._predict_dev(jnp.asarray(p1),
+                                            jnp.asarray(p1)))
+        np.testing.assert_allclose(same[:3, 3], p1[:3, 3], atol=2e-5)
+
+
+def test_pipeline_harvest_depth_one(tmp_path):
+    """harvest_depth=1 (no readback pipelining) must run end-to-end; 0
+    clamps to 1 instead of crashing."""
+    from helpers import tiny_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    for depth in (1, 0):
+        cfg = tiny_config(
+            data={"output": str(tmp_path), "exp_name": f"hd{depth}",
+                  "synthetic": {"n_frames": 8, "orbit_degrees": 15.0}},
+            RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1],
+                "init_size": 0.02, "count_search": 100},
+            tracking={"harvest_depth": depth},
+            mapping={"first_iters": 5, "iters": 1, "BA_iters": 1,
+                     "keyframe_every": 2, "map_every": 2, "sample": 64},
+            mesh={"vis": 0},
+        )
+        slam = RemixFusionTPU(cfg)
+        slam.first_frame_mapping()
+        for i in range(1, 8):
+            slam.track_frame(i, slam.dataset[i])
+        slam._harvest_pending_track()
+        assert slam.tracking_idx == 7
+        assert np.isfinite(slam.est_c2w_data[:8]).all()
