@@ -351,3 +351,49 @@ def test_pipeline_harvest_depth_one(tmp_path):
         slam._harvest_pending_track()
         assert slam.tracking_idx == 7
         assert np.isfinite(slam.est_c2w_data[:8]).all()
+
+
+def test_tracking_survives_depth_dropout(tmp_path):
+    """Failure robustness (SURVEY §5): frames with most of the depth image
+    invalid (sensor glitch) must not blow up the pose chain — the
+    success/EMA carry logic keeps the pose near the last good estimate and
+    tracking recovers once depth returns (reference success-flag +
+    search-size reinit semantics, ROtracker.py:681-737)."""
+    from helpers import tiny_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+    from remixfusion_tpu.tools.eval_ate import evaluate_ate
+
+    cfg = tiny_config(
+        data={"output": str(tmp_path), "exp_name": "dropout",
+              "synthetic": {"n_frames": 16, "orbit_degrees": 30.0}},
+        RO={"particle_iter_lens": 8, "depth_level": [4, 2, 1],
+            "init_size": 0.02, "count_search": 100},
+        mapping={"first_iters": 10, "iters": 1, "BA_iters": 1,
+                 "keyframe_every": 2, "map_every": 2, "sample": 128},
+        mesh={"vis": 0},
+    )
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    rng = np.random.default_rng(0)
+    for i in range(1, 16):
+        batch = dict(slam.dataset[i])
+        if i in (7, 8):  # glitch: 85% of depth pixels invalid
+            d = np.asarray(batch["depth"]).copy()
+            mask = rng.uniform(size=d.shape) < 0.85
+            d[mask] = 0.0
+            batch["depth"] = d
+        slam.track_frame(i, batch)
+        while slam.tracking_idx > slam.mapping_idx + 2:
+            cur = slam.mapping_idx + 2
+            if cur >= 16:
+                break
+            slam.mapping_round(cur)
+    slam._harvest_pending_track()
+
+    assert np.isfinite(slam.est_c2w_data[:16]).all()
+    poses = slam.convert_relative_pose_npy()
+    gt = slam.pose_gt
+    stats = evaluate_ate({float(i): gt[i] for i in range(16)},
+                         {float(i): poses[i] for i in range(16)})
+    # bounded drift through and after the glitch (clean run ~ <0.10)
+    assert stats["rmse"] < 0.20, stats
