@@ -162,6 +162,13 @@ class RemixFusionTPU:
         from concurrent.futures import ThreadPoolExecutor
         self._sel_pool = ThreadPoolExecutor(max_workers=1)
         self._lookahead_sel = None
+        # Brick-selection reuse window (frames): selections are world-space
+        # sets, so consecutive frames can share one. Halves the selector's
+        # host CPU (+0.4 FPS on the 1-core bench host) but the free-space
+        # rotation then advances at half rate (measured +0.2 cm ATE on the
+        # bench), so it ships OFF; set volume.sel_reuse: 2 to trade.
+        self._sel_reuse = max(1, int(config["volume"].get("sel_reuse", 1)))
+        self._sel_cache = None
         # Look-ahead integrate tile selection: (kf_id, pose snapshot,
         # future) queued during track_frame, consumed by mapping_round.
         self._integrate_la = None
@@ -666,17 +673,32 @@ class RemixFusionTPU:
         im_h, im_w = int(batch["depth"].shape[0]), int(batch["depth"].shape[1])
         if _st: _st.stop("t_pre"); _st.start("t_select")
         if self.mv.brick:
+            cache = self._sel_cache
             la = self._lookahead_sel
-            self._lookahead_sel = None
-            if (la is not None and la[0] == frame_id
-                    and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
-                bricks_np, bucket = la[2].result()
-                offsets = jnp.asarray(bricks_np)
-                self.mv._fs_phase = la[3] + 1
+            if (cache is not None
+                    and frame_id - cache[0] < self._sel_reuse
+                    and np.array_equal(cache[1], self.mv.vol_bnds[:, 0])):
+                # Reuse the previous frame's brick selection: the bricks
+                # are WORLD-space near-surface/free-space sets, so a 1-2
+                # frame-old selection differs only at the frustum-entry
+                # border (those voxels fuse one frame later). Halves the
+                # selector's host CPU, which co-bottlenecks the 1-core
+                # host once the device is under ~60 ms/frame.
+                offsets, bucket = cache[2], cache[3]
                 self.stats.setdefault("sel_la_hit", []).append(1)
             else:
-                offsets, bucket = self._frame_bricks(init, batch["depth"])
-                self.stats.setdefault("sel_la_hit", []).append(0)
+                self._lookahead_sel = None
+                if (la is not None and la[0] == frame_id
+                        and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
+                    bricks_np, bucket = la[2].result()
+                    offsets = jnp.asarray(bricks_np)
+                    self.mv._fs_phase = la[3] + 1
+                    self.stats.setdefault("sel_la_hit", []).append(1)
+                else:
+                    offsets, bucket = self._frame_bricks(init, batch["depth"])
+                    self.stats.setdefault("sel_la_hit", []).append(0)
+                self._sel_cache = (frame_id, self.mv.vol_bnds[:, 0].copy(),
+                                   offsets, bucket)
             mode = ("brick", bucket)
             self.stats.setdefault("fuse_bucket", []).append(bucket)
         else:
@@ -746,7 +768,12 @@ class RemixFusionTPU:
             try:
                 nxt_batch = self._get_frame(nxt)
                 self._dev_frames.prefetch(nxt, nxt_batch)
-                if self.mv.brick and len(self._last_harvested) >= 2:
+                sc = self._sel_cache
+                need_sel = (sc is None or nxt - sc[0] >= self._sel_reuse
+                            or not np.array_equal(
+                                sc[1], self.mv.vol_bnds[:, 0]))
+                if (self.mv.brick and need_sel
+                        and len(self._last_harvested) >= 2):
                     # Queue the NEXT frame's brick selection on the worker:
                     # pose extrapolated from the harvested frontier (the
                     # newest poses live on the device); selector margins
