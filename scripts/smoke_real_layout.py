@@ -1,14 +1,15 @@
-"""End-to-end smoke of a REAL dataset layout through run-style execution.
+"""End-to-end smoke of REAL dataset layouts through run-style execution.
 
-No real captures exist on this machine, so this writes a TUM-format
-dataset (u16-mm depth PNGs + RGB PNGs + rgb/depth/groundtruth.txt with
-timestamp association) from the analytic synthetic renderer's frames,
-then runs the FULL online pipeline through the TUMDataset loader — the
-exact path a user's TUM download takes (directory parsing, timestamp
-association, PNG decoding, depth scaling, pose quaternion parsing) — and
-checks the final ATE against the ground-truth poses it wrote.
+No real captures exist on this machine, so this writes an on-disk
+dataset in a real format (TUM: u16 depth PNGs + RGB PNGs + timestamped
+rgb/depth/groundtruth.txt; BS3D: color/ + depth/ + poses.txt) from the
+analytic synthetic renderer's frames, then runs the FULL online pipeline
+through the corresponding loader — the exact path a user's download
+takes (directory parsing, association, PNG decoding, depth scaling,
+quaternion parsing) — and checks the final ATE against the ground-truth
+poses it wrote.
 
-Usage: python scripts/smoke_real_layout.py [n_frames]
+Usage: python scripts/smoke_real_layout.py [n_frames] [tum|bs3d]
 """
 
 import os
@@ -63,26 +64,64 @@ def write_tum_dataset(out_dir: str, n_frames: int):
     return ds
 
 
+def write_bs3d_dataset(out_dir: str, n_frames: int):
+    import cv2
+
+    from remixfusion_tpu.config import load_config
+    from remixfusion_tpu.core.pose import matrix_to_quat
+    from remixfusion_tpu.datasets import get_dataset
+
+    cfg = load_config("configs/Synthetic/synthetic.yaml")
+    cfg["data"]["synthetic"]["n_frames"] = n_frames
+    cfg["data"]["synthetic"]["orbit_degrees"] = 1.2 * n_frames
+    ds = get_dataset(cfg)
+
+    os.makedirs(os.path.join(out_dir, "color"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+    rows = []
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i:06d}.png"),
+                    rgb8[..., ::-1])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i:06d}.png"), d16)
+        c2w = np.asarray(f["c2w"], np.float64)
+        q = np.asarray(matrix_to_quat(c2w[:3, :3].astype(np.float32)))
+        tx, ty, tz = c2w[:3, 3]
+        rows.append(f"{i} {tx:.6f} {ty:.6f} {tz:.6f} "
+                    f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}")
+    with open(os.path.join(out_dir, "poses.txt"), "w") as fh:
+        fh.write("\n".join(rows))
+    return ds
+
+
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    layout = sys.argv[2] if len(sys.argv) > 2 else "tum"
 
     from remixfusion_tpu.config import load_config
     from remixfusion_tpu.slam import RemixFusionTPU
     from remixfusion_tpu.tools.eval_ate import evaluate_ate
 
-    data_dir = tempfile.mkdtemp(prefix="tum_smoke_")
-    print(f"writing TUM-layout dataset ({n_frames} frames) -> {data_dir}")
-    write_tum_dataset(data_dir, n_frames)
-
-    cfg = load_config("configs/Tum/tum.yaml")
+    data_dir = tempfile.mkdtemp(prefix=f"{layout}_smoke_")
+    print(f"writing {layout}-layout dataset ({n_frames} frames) -> {data_dir}")
+    if layout == "tum":
+        write_tum_dataset(data_dir, n_frames)
+        cfg = load_config("configs/Tum/tum.yaml")
+        scale = 5000.0
+    else:
+        write_bs3d_dataset(data_dir, n_frames)
+        cfg = load_config("configs/BS3D/BS3D.yaml")
+        scale = 1000.0
     cfg["data"]["datadir"] = data_dir
     cfg["data"]["output"] = "output/smoke"
-    cfg["data"]["exp_name"] = "tum_layout"
-    # the synthetic renderer's intrinsics (the real fr1/fr2 configs carry
-    # the sensors' own values + distortion; the layout/loader path under
+    cfg["data"]["exp_name"] = f"{layout}_layout"
+    # the synthetic renderer's intrinsics (the real configs carry the
+    # sensors' own values + distortion; the layout/loader path under
     # test is identical)
     cfg["cam"].update(H=480, W=640, fx=400.0, fy=400.0, cx=319.5,
-                      cy=239.5, png_depth_scale=5000.0, crop_edge=0)
+                      cy=239.5, png_depth_scale=scale, crop_edge=0)
     cfg["mapping"]["bound"] = [[0.0, 4.0]] * 3
     cfg["mapping"]["marching_cubes_bound"] = [[0.0, 4.0]] * 3
     cfg["mapping"]["first_iters"] = 100
@@ -103,9 +142,9 @@ def main():
     n = slam.dataset.num_frames
     stats = evaluate_ate({float(i): gt[i] for i in range(n)},
                          {float(i): poses[i] for i in range(n)})
-    print(f"TUM-layout smoke: frames={n} "
+    print(f"{layout}-layout smoke: frames={n} "
           f"ate_rmse_cm={stats['rmse'] * 100:.3f}")
-    assert stats["rmse"] < 0.03, "TUM-layout run drifted"
+    assert stats["rmse"] < 0.03, f"{layout}-layout run drifted"
     print("OK")
 
 
