@@ -1239,16 +1239,19 @@ class BrickSelector:
         return mask
 
     def select(self, origin, c2w, depth, trunc_margin, budget,
-               fs_phase=0, fs_every=4):
+               fs_phase=0, fs_every=4, fs_span=1):
         """Returns ([budget, 3] int32 brick coords padded with -1, n_near,
-        n_selected) — same contract as select_fusion_bricks."""
+        n_selected) — same contract as select_fusion_bricks. fs_span > 1
+        includes `span` consecutive free-space phases (used when one
+        selection serves several frames: the carve rotation still covers
+        every brick each fs_every frames)."""
         import numpy as np
         near, dmax = self.near_mask(origin, c2w, depth, trunc_margin)
         fr = self.frustum_mask(origin, c2w, dmax, trunc_margin)
         near_flat = np.flatnonzero(near)
         fs_flat = np.flatnonzero(fr & ~near)
-        if fs_every > 1:
-            fs_flat = fs_flat[fs_flat % fs_every == fs_phase % fs_every]
+        if fs_every > 1 and fs_span < fs_every:
+            fs_flat = fs_flat[(fs_flat - fs_phase) % fs_every < fs_span]
         n_near = len(near_flat)
         if n_near > budget:
             near_flat = near_flat[:budget]

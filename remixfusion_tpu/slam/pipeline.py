@@ -164,9 +164,10 @@ class RemixFusionTPU:
         self._lookahead_sel = None
         # Brick-selection reuse window (frames): selections are world-space
         # sets, so consecutive frames can share one. Halves the selector's
-        # host CPU (+0.4 FPS on the 1-core bench host) but the free-space
-        # rotation then advances at half rate (measured +0.2 cm ATE on the
-        # bench), so it ships OFF; set volume.sel_reuse: 2 to trade.
+        # host CPU (+0.4 FPS on the 1-core bench host) but costs ~+0.25 cm
+        # bench ATE — and compensating the free-space rotation (fs_span)
+        # does NOT recover it, so the regression is near-set staleness at
+        # the frustum-entry band. Ships OFF; volume.sel_reuse: 2 trades.
         self._sel_reuse = max(1, int(config["volume"].get("sel_reuse", 1)))
         self._sel_cache = None
         # Look-ahead integrate tile selection: (kf_id, pose snapshot,
@@ -480,7 +481,8 @@ class RemixFusionTPU:
         carving set) for the fused track+integrate program. Returns
         (bricks, bucket)."""
         return self.mv.frame_bricks(np.asarray(pose), np.asarray(depth),
-                                    self.dataset.K())
+                                    self.dataset.K(),
+                                    fs_span=self._sel_reuse)
 
     def _build_track_and_fuse(self, im_h, im_w, mode: str):
         """Per-frame tracking + fusion as TWO chained async dispatches (the
@@ -692,7 +694,7 @@ class RemixFusionTPU:
                         and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
                     bricks_np, bucket = la[2].result()
                     offsets = jnp.asarray(bricks_np)
-                    self.mv._fs_phase = la[3] + 1
+                    self.mv._fs_phase = la[3] + self._sel_reuse
                     self.stats.setdefault("sel_la_hit", []).append(1)
                 else:
                     offsets, bucket = self._frame_bricks(init, batch["depth"])
@@ -784,7 +786,8 @@ class RemixFusionTPU:
                     phase = self.mv._fs_phase
                     fut = self._sel_pool.submit(
                         self.mv.frame_bricks_pure, origin, pred,
-                        nxt_batch["depth"], self.dataset.K(), phase)
+                        nxt_batch["depth"], self.dataset.K(), phase,
+                        self._sel_reuse)
                     self._lookahead_sel = (nxt, origin, fut, phase)
             except Exception:
                 pass  # best-effort; the get() path covers misses

@@ -328,25 +328,30 @@ class MovingVolume:
             self._brick_sel_hw = hw
         return self._brick_sel
 
-    def frame_bricks_pure(self, origin, c2w_np, depth_np, K, fs_phase):
+    def frame_bricks_pure(self, origin, c2w_np, depth_np, K, fs_phase,
+                          fs_span: int = 1):
         """Pure brick selection against an explicit origin/phase snapshot —
         safe to run on a worker thread while the main thread waits on the
         device (no MovingVolume state is read or written). Returns
-        (bricks host np [bucket, 3], bucket)."""
+        (bricks host np [bucket, 3], bucket). fs_span: number of
+        consecutive free-space phases to include (selection-reuse
+        compensation — see pipeline volume.sel_reuse)."""
         sel = self._ensure_brick_sel(depth_np.shape, K)
         bricks, _, n_sel = sel.select(
             origin, c2w_np, depth_np, self.trunc_margin,
-            self.brick_budget, fs_phase=fs_phase, fs_every=self.fs_every)
+            self.brick_budget, fs_phase=fs_phase, fs_every=self.fs_every,
+            fs_span=fs_span)
         bucket = next(b for b in self.brick_buckets if b >= n_sel)
         return bricks[:bucket], bucket
 
-    def frame_bricks(self, c2w_np, depth_np, K):
+    def frame_bricks(self, c2w_np, depth_np, K, fs_span: int = 1):
         """Host-side brick selection + bucket sizing for one frame.
         Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
         self._ensure_brick_sel(depth_np.shape, K)
         bricks, bucket = self.frame_bricks_pure(
-            self.vol_bnds[:, 0], c2w_np, depth_np, K, self._fs_phase)
-        self._fs_phase += 1
+            self.vol_bnds[:, 0], c2w_np, depth_np, K, self._fs_phase,
+            fs_span=fs_span)
+        self._fs_phase += fs_span
         return jnp.asarray(bricks), bucket
 
     def integrate(self, rgb: jnp.ndarray, depth: jnp.ndarray,
