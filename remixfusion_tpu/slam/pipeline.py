@@ -113,7 +113,9 @@ class RemixFusionTPU:
 
         self.mapping_idx = 0
         self.tracking_idx = 0
-        self._seed = int(config.get("seed", 42))
+        # masked to u32: the host-built raw keys are uint32[2] (a 64-bit
+        # seed would overflow where jax.random.PRNGKey used to accept it)
+        self._seed = int(config.get("seed", 42)) & 0xFFFFFFFF
         self._key_counter = 0
         self._np_rng = np.random.default_rng(self._seed)
 
@@ -693,7 +695,7 @@ class RemixFusionTPU:
                 # selector's host CPU, which co-bottlenecks the 1-core
                 # host once the device is under ~60 ms/frame.
                 offsets, bucket = cache[2], cache[3]
-                self.stats.setdefault("sel_la_hit", []).append(1)
+                self.stats.setdefault("sel_reused", []).append(1)
             else:
                 self._lookahead_sel = None
                 if (la is not None and la[0] == frame_id
