@@ -212,6 +212,21 @@ class RemixFusionTPU:
         self._stage_timer = (StageTimer()
                              if os.environ.get("REMIX_TIMERS") else None)
 
+        # Live HTTP viewer (reference tools/viz.py live open3d window;
+        # here a headless-friendly browser page, tools/live_viewer.py).
+        # config: viz.live = port (1 = auto-pick), viz.live_every = state/
+        # input-frame publish stride, viz.live_render_every = optional
+        # low-res reconstruction render stride (0 = off; costs device time).
+        viz_cfg = config.get("viz", {}) or {}
+        self.viewer = None
+        self._live_every = int(viz_cfg.get("live_every", 2))
+        self._live_render_every = int(viz_cfg.get("live_render_every", 0))
+        live = int(viz_cfg.get("live", 0) or 0)
+        if live:
+            from remixfusion_tpu.tools.live_viewer import LiveViewer
+            self.viewer = LiveViewer(port=0 if live == 1 else live)
+            print(f"live viewer: http://localhost:{self.viewer.port}/")
+
     # --------------------------------------------------------------- setup
 
     def update_cam(self):
@@ -943,6 +958,48 @@ class RemixFusionTPU:
 
     # ---------------------------------------------------------- main loop
 
+    def _publish_live(self, idx: int, batch):
+        """Feed the live HTTP viewer (viz.live). Never blocks the pipeline:
+        poses are composed only up to the already-harvested frontier (no
+        forced readback), the input frame is published by reference, and
+        the optional reconstruction render is stride-gated."""
+        if self.viewer is None or idx % self._live_every:
+            return
+        try:
+            frontier = (self._last_harvested[-1][0]
+                        if self._last_harvested else 0)
+            kf_every = self.config["mapping"]["keyframe_every"]
+            step = max(1, (frontier + 1) // 400)
+            ids = range(0, frontier + 1, step)
+            est = np.empty((len(ids), 3), np.float32)
+            for j, i in enumerate(ids):
+                if i % kf_every == 0:
+                    est[j] = self.est_c2w_data[i][:3, 3]
+                else:
+                    kf = (i // kf_every) * kf_every
+                    est[j] = (self.est_c2w_data_rel[i]
+                              @ self.est_c2w_data[kf])[:3, 3]
+            tt = self.stats["track_time"][-50:]
+            fps = 1.0 / max(float(np.mean(tt)), 1e-9) if len(tt) else 0.0
+            self.viewer.publish_state(
+                frame=idx, n=self.dataset.num_frames, fps=fps,
+                est=est, gt=self.pose_gt[:frontier + 1:step, :3, 3],
+                extra={"mapped_to": self.mapping_idx,
+                       "keyframes": self.mapping_idx // kf_every + 1})
+            if (self._live_render_every
+                    and idx % self._live_render_every == 0 and frontier):
+                i = frontier
+                kf = (i // kf_every) * kf_every
+                pose = (self.est_c2w_data[i] if i % kf_every == 0 else
+                        self.est_c2w_data_rel[i] @ self.est_c2w_data[kf])
+                rgb, _ = self.render_frame(pose, batch["direction"], gap=8)
+                self.viewer.publish_frame(rgb)
+            else:
+                self.viewer.publish_frame(
+                    np.asarray(batch["rgb"])[::2, ::2])
+        except Exception as e:  # the viewer must never kill the run
+            print("live viewer publish failed:", e)
+
     def run(self):
         cfg_path = os.path.join(self.out_dir, "config.json")
         with open(cfg_path, "w") as f:
@@ -958,6 +1015,7 @@ class RemixFusionTPU:
         for idx in range(1, n):
             batch = self._get_frame(idx)
             self.track_frame(idx, batch)
+            self._publish_live(idx, batch)
             while self.tracking_idx > self.mapping_idx + map_every:
                 cur_map_id = self.mapping_idx + kf_every
                 if cur_map_id >= n:
@@ -988,6 +1046,10 @@ class RemixFusionTPU:
         self._apply_pending_ba()
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
+        if self.viewer is not None:  # final full trajectory for the page
+            self.viewer.publish_state(
+                frame=self.dataset.num_frames - 1, n=self.dataset.num_frames,
+                est=poses_np, gt=self.pose_gt, extra={"status": "finished"})
         try:
             pose_evaluation(self.pose_gt, poses_np, 1, self.out_dir,
                             self.dataset.num_frames - 1)

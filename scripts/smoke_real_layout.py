@@ -2,14 +2,16 @@
 
 No real captures exist on this machine, so this writes an on-disk
 dataset in a real format (TUM: u16 depth PNGs + RGB PNGs + timestamped
-rgb/depth/groundtruth.txt; BS3D: color/ + depth/ + poses.txt) from the
+rgb/depth/groundtruth.txt; BS3D: color/ + depth/ + poses.txt; Replica:
+results/frame*.jpg + results/depth*.png + traj.txt flat 4x4 rows;
+ScanNet: color/*.jpg + depth/*.png + pose/*.txt per frame) from the
 analytic synthetic renderer's frames, then runs the FULL online pipeline
 through the corresponding loader — the exact path a user's download
-takes (directory parsing, association, PNG decoding, depth scaling,
-quaternion parsing) — and checks the final ATE against the ground-truth
-poses it wrote.
+takes (directory parsing, association, PNG/JPEG decoding, depth scaling,
+quaternion/matrix pose parsing) — and checks the final ATE against the
+ground-truth poses it wrote.
 
-Usage: python scripts/smoke_real_layout.py [n_frames] [tum|bs3d]
+Usage: python scripts/smoke_real_layout.py [n_frames] [tum|bs3d|replica|scannet]
 """
 
 import os
@@ -96,6 +98,59 @@ def write_bs3d_dataset(out_dir: str, n_frames: int):
     return ds
 
 
+def _synthetic_frames(n_frames: int):
+    from remixfusion_tpu.config import load_config
+    from remixfusion_tpu.datasets import get_dataset
+
+    cfg = load_config("configs/Synthetic/synthetic.yaml")
+    cfg["data"]["synthetic"]["n_frames"] = n_frames
+    cfg["data"]["synthetic"]["orbit_degrees"] = 1.2 * n_frames
+    return get_dataset(cfg)
+
+
+def write_replica_dataset(out_dir: str, n_frames: int):
+    """results/frame%06d.jpg + results/depth%06d.png + traj.txt of flat
+    4x4 rows (the layout ReplicaDataset parses, loaders.py:121-138)."""
+    import cv2
+
+    ds = _synthetic_frames(n_frames)
+    os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+    rows = []
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 6553.5).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "results", f"frame{i:06d}.jpg"),
+                    rgb8[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        cv2.imwrite(os.path.join(out_dir, "results", f"depth{i:06d}.png"),
+                    d16)
+        c2w = np.asarray(f["c2w"], np.float64)
+        rows.append(" ".join(f"{v:.8f}" for v in c2w.reshape(-1)))
+    with open(os.path.join(out_dir, "traj.txt"), "w") as fh:
+        fh.write("\n".join(rows))
+    return ds
+
+
+def write_scannet_dataset(out_dir: str, n_frames: int):
+    """color/%d.jpg + depth/%d.png + pose/%d.txt (the layout
+    ScannetDataset parses, loaders.py:196-214)."""
+    import cv2
+
+    ds = _synthetic_frames(n_frames)
+    for sub in ("color", "depth", "pose"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i}.jpg"),
+                    rgb8[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i}.png"), d16)
+        np.savetxt(os.path.join(out_dir, "pose", f"{i}.txt"),
+                   np.asarray(f["c2w"], np.float64))
+    return ds
+
+
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     layout = sys.argv[2] if len(sys.argv) > 2 else "tum"
@@ -110,6 +165,14 @@ def main():
         write_tum_dataset(data_dir, n_frames)
         cfg = load_config("configs/Tum/tum.yaml")
         scale = 5000.0
+    elif layout == "replica":
+        write_replica_dataset(data_dir, n_frames)
+        cfg = load_config("configs/Replica/replica.yaml")
+        scale = 6553.5
+    elif layout == "scannet":
+        write_scannet_dataset(data_dir, n_frames)
+        cfg = load_config("configs/ScanNet/scannet.yaml")
+        scale = 1000.0
     else:
         write_bs3d_dataset(data_dir, n_frames)
         cfg = load_config("configs/BS3D/BS3D.yaml")

@@ -17,6 +17,7 @@ def test_end_to_end_synthetic(tmp_path):
         mapping={"first_iters": 15, "iters": 2, "BA_iters": 2,
                  "keyframe_every": 2, "map_every": 2, "sample": 128},
         mesh={"vis": 0, "voxel_final": 0.1},
+        viz={"live": 1, "live_every": 2},
     )
     slam = RemixFusionTPU(cfg)
     slam.run()
@@ -46,6 +47,17 @@ def test_end_to_end_synthetic(tmp_path):
     verts, faces = read_ply(os.path.join(out, "mesh.ply"))
     assert len(verts) > 100 and faces is not None and len(faces) > 100
     assert verts.min() >= -0.5 and verts.max() <= 4.5
+
+    # Live viewer served the run: final state + a frame over HTTP
+    import json as _json
+    import urllib.request
+    base = f"http://127.0.0.1:{slam.viewer.port}"
+    st = _json.loads(urllib.request.urlopen(base + "/state.json").read())
+    assert st["extra"].get("status") == "finished"
+    assert len(st["est"]) == 12 and len(st["gt"]) == 12
+    body = urllib.request.urlopen(base + "/frame").read()
+    assert len(body) > 100  # encoded image (jpg or bmp)
+    slam.viewer.stop()
 
 
 def test_checkpoint_roundtrip(tmp_path):
