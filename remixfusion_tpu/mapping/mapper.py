@@ -108,6 +108,10 @@ class Mapper:
         self._map_fused_fns = {}
         self._ba_step_fns = {}
         self._integrate_fns = {}
+        # True while the SceneBuffers dense gbv/gbw mirrors lag the
+        # tile-major primary (between tiled keyframe integrates); cold
+        # consumers refresh via ensure_dense
+        self.dense_stale = False
 
     # ------------------------------------------------------------ fusion
 
@@ -208,17 +212,23 @@ class Mapper:
                         R, tile, budget, im_h=im_h, im_w=im_w,
                         trunc_margin=self.config["training"]["c_trunc"])
             gbv_tm, gbw_tm = self.ensure_tile_major(buffers, tile)
-            gbv_tm, gbw_tm, gbv, gbw, gbq = self._integrate_fns[ikey](
+            gbv_tm, gbw_tm, gbq = self._integrate_fns[ikey](
                 gbv_tm, gbw_tm, jnp.asarray(offs),
                 jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
                 jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
                 jnp.asarray(obs_weight, jnp.float32))
-            return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
-                                gbq=gbq, gbv_tm=gbv_tm, gbw_tm=gbw_tm)
+            # the carried dense mirrors are now STALE — the hot map/BA
+            # programs only read gbq; cold consumers (mesh/ckpt/dense
+            # fallback) must go through ensure_dense first
+            self.dense_stale = True
+            return SceneBuffers(gbv=buffers.gbv, gbw=buffers.gbw,
+                                rba=buffers.rba, gbq=gbq,
+                                gbv_tm=gbv_tm, gbw_tm=gbw_tm)
 
         key = (im_h, im_w)
         if key not in self._integrate_fns:
             self._integrate_fns[key] = self._build_integrate_kf(im_h, im_w)
+        buffers = self.ensure_dense(buffers)  # sweep reads the dense grid
         gbv, gbw = self._integrate_fns[key](
             buffers.gbv, buffers.gbw, jnp.asarray(depth), jnp.asarray(rgb),
             jnp.asarray(K), jnp.asarray(c2w),
@@ -226,6 +236,7 @@ class Mapper:
             jnp.asarray(obs_weight, jnp.float32))
         # the dense sweep invalidates the tile-major primary (rebuilt
         # lazily on the next tiled keyframe)
+        self.dense_stale = False
         return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
                             gbq=_pack_gbq(gbv))
 
@@ -243,11 +254,31 @@ class Mapper:
                 lambda v, w: (to_tm(v), to_tm(w)))
         return self._integrate_fns[key](buffers.gbv, buffers.gbw)
 
+    def ensure_dense(self, buffers: SceneBuffers) -> SceneBuffers:
+        """Fresh dense [R,R,R(,4)] mirrors for the cold consumers
+        (mesh extraction, checkpoint save, dense-fallback sweep, sharding).
+        The tiled keyframe integrate only maintains the tile-major primary
+        + the bf16 gbq mirror; this rebuilds dense from tile-major on
+        demand and clears the staleness flag."""
+        if not self.dense_stale:
+            return buffers
+        R = self.scene.gbv_resolution
+        tile = tsdf_ops.pick_global_tile(R)
+        key = ("from_tm", R, tile)
+        if key not in self._integrate_fns:
+            _, from_tm = tsdf_ops.tile_major_view(R, tile)
+            self._integrate_fns[key] = jax.jit(
+                lambda v, w: (from_tm(v), from_tm(w)))
+        gbv, gbw = self._integrate_fns[key](buffers.gbv_tm, buffers.gbw_tm)
+        self.dense_stale = False
+        return buffers._replace(gbv=gbv, gbw=gbw)
+
     def reset_global_volume(self, buffers: SceneBuffers) -> SceneBuffers:
         """clean_tsdf semantics: tsdf=1, rgb=0, weights=0
         (reference mapper.py:161-183, 267-282)."""
         gbv = jnp.zeros_like(buffers.gbv).at[..., 0].set(1.0)
         gbw = jnp.zeros_like(buffers.gbw)
+        self.dense_stale = False  # freshly-built dense, tm invalidated
         return SceneBuffers(gbv=gbv, gbw=gbw, rba=buffers.rba,
                             gbq=_pack_gbq(gbv))
 

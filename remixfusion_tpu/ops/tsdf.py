@@ -525,15 +525,17 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
     materializing the tile-major transpose pair around its row
     gather/scatter (the t-length inner runs defeat lane vectorization).
     Keeping the grid's PRIMARY copy tile-major ([NT, t^3, 4] / [NT, t^3])
-    makes the move two plain row ops; the dense mirror every other
-    consumer reads (gbq pack, render/mesh/ckpt/sharding) is emitted
-    in-program with ONE from_tm per keyframe. Same tile_update math —
-    results are bitwise identical to the dense path.
+    makes the move two plain row ops. The only per-keyframe dense product
+    is the bf16 gbq query mirror (the one thing the hot map/BA programs
+    read), packed via ONE bf16 from_tm — half the transpose traffic of an
+    f32 dense emit, and the f32 dense mirrors the cold consumers read
+    (mesh/ckpt/sharding/dense-fallback) are rebuilt lazily by
+    Mapper.ensure_dense instead of per keyframe. Same tile_update math —
+    results are bitwise identical to the dense path (cast-then-permute ==
+    permute-then-cast).
 
     Returns integ(gbv_tm, gbw_tm, offsets, depth, rgb, K, c2w, bound,
-    obs_weight) -> (gbv_tm', gbw_tm', gbv_dense', gbw_dense');
-    to_tm(gbv_dense) rebuilds the tile-major copy (checkpoint load,
-    dense-fallback invalidation)."""
+    obs_weight) -> (gbv_tm', gbw_tm', gbq')."""
     t = int(tile)
     to_tm, from_tm, tile_update, pack_img, tile_ids = \
         _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin)
@@ -550,10 +552,10 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
                              obs_weight)
         gbv_tm = gbv_tm.at[ids].set(vs, mode="drop", unique_indices=True)
         gbw_tm = gbw_tm.at[ids].set(ws, mode="drop", unique_indices=True)
-        gbv = from_tm(gbv_tm)
-        # gbq emitted in the same program so XLA can fuse the layout chain
-        # instead of materializing dense twice
-        return gbv_tm, gbw_tm, gbv, from_tm(gbw_tm), oct_pack_gbq(gbv)
+        # bf16-first: the layout move runs at half the f32 byte traffic,
+        # and bf16(from_tm(x)) == from_tm(bf16(x)) elementwise
+        gbq = oct_pack_gbq(from_tm(gbv_tm.astype(jnp.bfloat16)))
+        return gbv_tm, gbw_tm, gbq
 
     return integ
 

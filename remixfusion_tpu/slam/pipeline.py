@@ -367,6 +367,15 @@ class RemixFusionTPU:
                     jnp.asarray(1.0, jnp.float32))
                 jax.block_until_ready(out[0])
                 del out
+            # lazy dense rebuild (ensure_dense: first mesh/ckpt/fallback
+            # after a tiled keyframe)
+            was_stale = self.mapper.dense_stale
+            self.mapper.dense_stale = True
+            jax.block_until_ready(self.mapper.ensure_dense(
+                self.buffers._replace(
+                    gbv_tm=jnp.zeros((n_total, t3, 4), jnp.float32),
+                    gbw_tm=jnp.zeros((n_total, t3), jnp.float32))).gbv)
+            self.mapper.dense_stale = was_stale
         # dense fallback (selection above 7/8 of the tiles, or no tile size)
         dkey = (im_h, im_w)
         if dkey not in self.mapper._integrate_fns:
@@ -1111,12 +1120,14 @@ class RemixFusionTPU:
 
     def save_mesh(self, i, voxel_size=0.05):
         path = os.path.join(self.out_dir, f"mesh_track{int(i)}.ply")
+        self.buffers = self.mapper.ensure_dense(self.buffers)
         extract_mesh(self.scene, self.params, self.buffers, self.config,
                      self.bound, self.mc_bound, voxel_size=voxel_size,
                      mesh_savepath=path)
 
     def save_mesh_final(self, voxel_size=0.05):
         path = os.path.join(self.out_dir, "mesh.ply")
+        self.buffers = self.mapper.ensure_dense(self.buffers)
         extract_mesh(self.scene, self.params, self.buffers, self.config,
                      self.bound, self.mc_bound, voxel_size=voxel_size,
                      mesh_savepath=path)
@@ -1124,12 +1135,14 @@ class RemixFusionTPU:
 
     def save_mesh_explicit(self, i, voxel_size=0.05):
         path = os.path.join(self.out_dir, f"mesh_track{int(i)}_ex.ply")
+        self.buffers = self.mapper.ensure_dense(self.buffers)
         extract_mesh(self.scene, self.params, self.buffers, self.config,
                      self.bound, self.mc_bound, voxel_size=voxel_size,
                      mesh_savepath=path, explicit_only=True)
 
     def save_ckpt(self, path):
         """Model + pose checkpoint (reference mapper.py:257-265)."""
+        self.buffers = self.mapper.ensure_dense(self.buffers)
         flat, treedef = jax.tree_util.tree_flatten(self.params)
         np.savez(
             path,
@@ -1164,6 +1177,7 @@ class RemixFusionTPU:
             rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
                            jnp.asarray(data["rba_init_r"]),
                            jnp.asarray(data["rba_init_t"])))
+        self.mapper.dense_stale = False  # just loaded fresh dense mirrors
 
     def update_GBV(self, cur_id):
         """Re-fuse the explicit global volume from all keyframes at their

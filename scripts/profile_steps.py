@@ -146,7 +146,8 @@ def main():
         b = slam.mapper.integrate_keyframe(
             b, dep_dev, rgb_dev, slam.K_dev, pose_dev,
             slam.bound, host_depth=depth, host_c2w=init)
-    jax.block_until_ready(b.gbv)
+    # gbq is the per-keyframe product now (dense mirrors rebuild lazily)
+    jax.block_until_ready(b.gbq)
     print(f"integrate_keyframe: "
           f"{1000 * (time.perf_counter() - t0) / args.reps:.2f} ms")
     slam.buffers = b

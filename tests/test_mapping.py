@@ -144,3 +144,55 @@ def test_keyframe_database():
     assert set(np.unique(fids)).issubset({0, 2})
     # filter_depth: stored rays (non-first kf) all have valid depth
     assert (kfdb.rays[1][:, 6] > 0).all()
+
+
+def test_tiled_integrate_lazy_dense_and_ensure_dense():
+    """The tiled keyframe integrate maintains only the tile-major primary
+    + the bf16 gbq mirror; the dense gbv/gbw mirrors go stale and
+    Mapper.ensure_dense rebuilds them on demand, bitwise equal to the
+    dense-sweep path (full tile coverage == dense sweep)."""
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    cfg, ds, scene, params, buffers, mapper = setup_system()
+    f = ds[0]
+    K = jnp.asarray(ds.K())
+    bound = np.asarray(cfg["mapping"]["bound"], np.float32)
+    R = scene.gbv_resolution
+    t = tsdf_ops.pick_global_tile(R)
+    assert t is not None
+    T = R // t
+    # all T^3 tiles -> the tiled program covers the whole grid
+    ii, jj, kk = np.meshgrid(*([np.arange(T)] * 3), indexing="ij")
+    offs = (np.stack([ii, jj, kk], -1).reshape(-1, 3) * t).astype(np.int32)
+    gbv0 = np.asarray(buffers.gbv)
+
+    tiled = mapper.integrate_keyframe(
+        buffers, jnp.asarray(f["depth"]), jnp.asarray(f["rgb"]), K,
+        jnp.asarray(f["c2w"]), bound, precomputed_tiles=(offs, len(offs)))
+    assert mapper.dense_stale
+    assert tiled.gbv_tm is not None
+    # carried dense mirror is STALE (untouched by the tiled program)
+    np.testing.assert_array_equal(np.asarray(tiled.gbv), gbv0)
+    # ...while gbq reflects the updated grid
+    assert not np.array_equal(np.asarray(tiled.gbq),
+                              np.asarray(_pack_gbq(tiled.gbv)))
+
+    fresh = mapper.ensure_dense(tiled)
+    assert not mapper.dense_stale
+    # gbq packed in-program == pack of the refreshed dense mirror
+    np.testing.assert_array_equal(np.asarray(fresh.gbq),
+                                  np.asarray(_pack_gbq(fresh.gbv)))
+    # a second call is a no-op (no staleness)
+    assert mapper.ensure_dense(fresh) is fresh
+
+    # full-coverage tiled integrate == the dense sweep, bitwise
+    cfg2, ds2, scene2, params2, buffers2, mapper2 = setup_system()
+    dense = mapper2.integrate_keyframe(
+        buffers2, jnp.asarray(f["depth"]), jnp.asarray(f["rgb"]), K,
+        jnp.asarray(f["c2w"]), bound)
+    assert not mapper2.dense_stale
+    np.testing.assert_array_equal(np.asarray(fresh.gbv),
+                                  np.asarray(dense.gbv))
+    np.testing.assert_array_equal(np.asarray(fresh.gbw),
+                                  np.asarray(dense.gbw))

@@ -237,8 +237,9 @@ def test_marching_tetrahedra_fscore_stable_across_resolutions():
 def test_tile_major_integrator_matches_dense_variant():
     """The production keyframe integrator (tile-major primary copies,
     ops.tsdf.make_global_tiled_integrator_tm) must reproduce the dense
-    variant bitwise — including the dense mirrors it emits and the
-    in-program gbq pack (vs mapper._pack_gbq)."""
+    variant bitwise — the tile-major primaries map back to the dense
+    result, and the in-program bf16 gbq pack equals mapper._pack_gbq of
+    the dense grid (cast-then-permute == permute-then-cast)."""
     import jax.numpy as jnp
     from remixfusion_tpu.mapping.mapper import _pack_gbq
     from remixfusion_tpu.ops import tsdf as tsdf_ops
@@ -266,20 +267,20 @@ def test_tile_major_integrator_matches_dense_variant():
             R, t, budget, im_h=im_h, im_w=im_w, trunc_margin=0.25)
         tm_fn = tsdf_ops.make_global_tiled_integrator_tm(
             R, t, budget, im_h=im_h, im_w=im_w, trunc_margin=0.25)
-        to_tm, _ = tsdf_ops.tile_major_view(R, t)
+        to_tm, from_tm = tsdf_ops.tile_major_view(R, t)
         owj = jnp.asarray(ow, jnp.float32)
         dv, dw = dense_fn(gbv.copy(), gbw.copy(), offs, depth, rgb, K,
                           c2w, bound, owj)
-        v_tm, w_tm, tv, tw, gbq = tm_fn(to_tm(gbv.copy()), to_tm(gbw.copy()),
-                                        offs, depth, rgb, K, c2w, bound, owj)
-        np.testing.assert_array_equal(np.asarray(dv), np.asarray(tv))
-        np.testing.assert_array_equal(np.asarray(dw), np.asarray(tw))
-        # tile-major primaries stay consistent with their dense mirrors
-        np.testing.assert_array_equal(np.asarray(to_tm(tv)), np.asarray(v_tm))
-        np.testing.assert_array_equal(np.asarray(to_tm(tw)), np.asarray(w_tm))
-        # in-program gbq == the shared pack of the dense mirror
+        v_tm, w_tm, gbq = tm_fn(to_tm(gbv.copy()), to_tm(gbw.copy()),
+                                offs, depth, rgb, K, c2w, bound, owj)
+        # tile-major primaries map back to the dense-variant result
+        np.testing.assert_array_equal(np.asarray(dv),
+                                      np.asarray(from_tm(v_tm)))
+        np.testing.assert_array_equal(np.asarray(dw),
+                                      np.asarray(from_tm(w_tm)))
+        # in-program bf16 gbq == the shared pack of the dense result
         np.testing.assert_array_equal(np.asarray(gbq),
-                                      np.asarray(_pack_gbq(tv)))
+                                      np.asarray(_pack_gbq(dv)))
 
 
 def test_device_pose_prediction_matches_host():
