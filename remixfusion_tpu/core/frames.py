@@ -6,11 +6,20 @@ per-transfer latency plus bandwidth on the payload, so a float32 RGB-D frame
 compute budget for a frame. RGB-D sensors are natively uint16 depth (mm) +
 uint8 color (reference loaders divide those raw values into float on the
 host, datasets.py); we keep that compact wire format all the way to the
-device: one packed uint8 [H, W, 5] buffer per frame (u16-mm depth in bytes
-0-1 little-endian, u8 RGB in bytes 2-4), converted to float32 on device by a
-tiny jitted kernel. Combined with one-frame-ahead asynchronous prefetch
-(jax.device_put), the transfer rides under the previous frame's device
-compute.
+device and decode to float32 with a tiny jitted kernel.
+
+Wire format (v2, planar row-delta): one uint8 [5, H, W] buffer per frame —
+plane 0/1 the lo/hi bytes of the row-wise wrapping u16 delta of mm depth
+(column 0 absolute), planes 2-4 the row-wise wrapping u8 deltas of R/G/B.
+Same byte count as raw, but transparently compressible: tunneled transports
+compress the stream (measured: a zeros buffer uploads 2.5x faster than
+random bytes), and RGB-D frames are row-smooth, so deltas concentrate near
+zero (zlib-1 ratio 0.36 raw-planar -> 0.16 delta-planar on a synthetic
+frame; upload 30 -> 20 ms measured on the tunneled v5e). The device decode
+is an exact inverse: an int32 row cumsum masked back to u16/u8 (wrapping
+subtract then modular cumsum is lossless; max row sum 640 * 65535 < 2^31).
+Combined with one-frame-ahead asynchronous prefetch (jax.device_put), the
+transfer rides under the previous frame's device compute.
 
 Quantization: depth to 1 mm — the native resolution of the sensors the
 reference targets (TUM/ScanNet/BS3D u16-mm PNGs) — and RGB to 8 bits, which
@@ -29,26 +38,38 @@ MAX_DEPTH = 65.535    # u16 ceiling in meters
 
 def pack_frame(depth: np.ndarray, rgb: np.ndarray) -> np.ndarray:
     """Host-side: f32 depth [H,W] (meters) + f32 rgb [H,W,3] in [0,1]
-    -> packed uint8 [H, W, 5]."""
+    -> packed uint8 [5, H, W] (planar row-delta, see module docstring)."""
     d16 = (np.clip(depth, 0.0, MAX_DEPTH) * DEPTH_SCALE + 0.5).astype(
         np.uint16)
     rgb8 = (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
     h, w = d16.shape
-    out = np.empty((h, w, 5), np.uint8)
-    out[..., 0] = d16 & 0xFF
-    out[..., 1] = d16 >> 8
-    out[..., 2:5] = rgb8
+    dd = np.empty((h, w), np.uint16)
+    dd[:, 0] = d16[:, 0]
+    di = d16.astype(np.int32)
+    dd[:, 1:] = ((di[:, 1:] - di[:, :-1]) & 0xFFFF).astype(np.uint16)
+    dr = np.empty((h, w, 3), np.uint8)
+    dr[:, 0] = rgb8[:, 0]
+    ri = rgb8.astype(np.int16)
+    dr[:, 1:] = ((ri[:, 1:] - ri[:, :-1]) & 0xFF).astype(np.uint8)
+    out = np.empty((5, h, w), np.uint8)
+    out[0] = (dd & 0xFF).astype(np.uint8)
+    out[1] = (dd >> 8).astype(np.uint8)
+    out[2] = dr[..., 0]
+    out[3] = dr[..., 1]
+    out[4] = dr[..., 2]
     return out
 
 
 @jax.jit
 def unpack_frame(packed: jnp.ndarray):
-    """Device-side: packed uint8 [H, W, 5] -> (depth f32 [H,W] meters,
-    rgb f32 [H,W,3] in [0,1])."""
-    lo = packed[..., 0].astype(jnp.uint16)
-    hi = packed[..., 1].astype(jnp.uint16)
-    depth = (lo | (hi << jnp.uint16(8))).astype(jnp.float32) / DEPTH_SCALE
-    rgb = packed[..., 2:5].astype(jnp.float32) / 255.0
+    """Device-side: packed uint8 [5, H, W] -> (depth f32 [H,W] meters,
+    rgb f32 [H,W,3] in [0,1]). Exact inverse of pack_frame."""
+    p = packed.astype(jnp.int32)
+    dd = p[0] | (p[1] << 8)
+    d16 = jnp.cumsum(dd, axis=-1) & 0xFFFF
+    depth = d16.astype(jnp.float32) / DEPTH_SCALE
+    rgb8 = jnp.cumsum(p[2:5], axis=-1) & 0xFF
+    rgb = jnp.transpose(rgb8, (1, 2, 0)).astype(jnp.float32) / 255.0
     return depth, rgb
 
 

@@ -516,6 +516,16 @@ class RemixFusionTPU:
                                     self.dataset.K(),
                                     fs_span=self._sel_reuse)
 
+    def _frame_bricks_staged(self, origin, pose, depth, K, phase, span):
+        """Look-ahead worker entry: select bricks AND start their device
+        upload from the worker thread, so the main thread's dispatch path
+        never pays the ~small-but-RTT-priced device_put of the selection
+        (on a degraded tunnel every host-thread transfer stalls the whole
+        dispatch stream)."""
+        bricks_np, bucket = self.mv.frame_bricks_pure(
+            origin, pose, depth, K, phase, span)
+        return jnp.asarray(bricks_np), bucket
+
     def _build_track_and_fuse(self, im_h, im_w, mode: str):
         """Per-frame tracking + fusion as TWO chained async dispatches (the
         fuser consumes the tracked pose device-side, so there is still only
@@ -724,8 +734,7 @@ class RemixFusionTPU:
                 self._lookahead_sel = None
                 if (la is not None and la[0] == frame_id
                         and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
-                    bricks_np, bucket = la[2].result()
-                    offsets = jnp.asarray(bricks_np)
+                    offsets, bucket = la[2].result()  # already device-staged
                     self.mv._fs_phase = la[3] + self._sel_reuse
                     self.stats.setdefault("sel_la_hit", []).append(1)
                 else:
@@ -817,7 +826,7 @@ class RemixFusionTPU:
                     origin = self.mv.vol_bnds[:, 0].copy()
                     phase = self.mv._fs_phase
                     fut = self._sel_pool.submit(
-                        self.mv.frame_bricks_pure, origin, pred,
+                        self._frame_bricks_staged, origin, pred,
                         nxt_batch["depth"], self.dataset.K(), phase,
                         self._sel_reuse)
                     self._lookahead_sel = (nxt, origin, fut, phase)

@@ -398,3 +398,32 @@ def test_tracking_survives_depth_dropout(tmp_path):
                          {float(i): poses[i] for i in range(16)})
     # bounded drift through and after the glitch (clean run ~ <0.10)
     assert stats["rmse"] < 0.20, stats
+
+
+def test_wire_format_roundtrip_exact():
+    """pack_frame -> unpack_frame is an exact inverse at the sensors' native
+    quantization (u16-mm depth, u8 rgb), including u16 wrap in the row
+    delta (adjacent-pixel jumps > 32767 mm) and zero-depth holes."""
+    from remixfusion_tpu.core.frames import (DEPTH_SCALE, MAX_DEPTH,
+                                             pack_frame, unpack_frame)
+    rng = np.random.default_rng(7)
+    h, w = 37, 53
+    depth = rng.uniform(0.0, 9.0, (h, w)).astype(np.float32)
+    depth[rng.uniform(size=(h, w)) < 0.2] = 0.0       # sensor holes
+    depth[5, 10] = 64.0                               # wrap: 64 m next to 0
+    depth[5, 11] = 0.0
+    rgb = rng.uniform(0.0, 1.0, (h, w, 3)).astype(np.float32)
+
+    packed = pack_frame(depth, rgb)
+    assert packed.shape == (5, h, w) and packed.dtype == np.uint8
+    import jax.numpy as jnp
+    dep_dev, rgb_dev = unpack_frame(jnp.asarray(packed))
+
+    d16 = (np.clip(depth, 0, MAX_DEPTH) * DEPTH_SCALE + 0.5).astype(np.uint16)
+    r8 = (np.clip(rgb, 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_allclose(np.asarray(dep_dev),
+                               d16.astype(np.float32) / DEPTH_SCALE,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_dev),
+                               r8.astype(np.float32) / 255.0,
+                               rtol=0, atol=1e-6)
