@@ -24,9 +24,57 @@ from remixfusion_tpu.utils.runtime import setup_compilation_cache
 setup_compilation_cache()
 
 
+def probe_tunnel():
+    """2-second link-health probe: dispatch RTT (chained scalar ops, each
+    forced through a data dependency — block_until_ready on independent
+    dispatches does not await them on the tunneled backend) and the upload
+    wall of one packed 640x480 frame. Printed with every run because the
+    tunnel's bandwidth/latency vary by multiples run-to-run (measured
+    7-110 MB/s within one hour), which is the dominant source of FPS
+    spread on identical code."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda c: c + 1.0)
+    c = jnp.float32(0)
+    c = f(c)
+    np.asarray(c)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        c = f(c)
+    np.asarray(c)
+    rtt_ms = (time.perf_counter() - t0) / 30 * 1000
+
+    from remixfusion_tpu.core.frames import pack_frame
+    rng = np.random.default_rng(0)
+
+    def up10(packed):
+        d = jax.device_put(packed)
+        np.asarray(d.ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(10):
+            d = jax.device_put(packed)
+        np.asarray(d.ravel()[0])
+        return (time.perf_counter() - t0) / 10 * 1000
+
+    # worst case: noise frames defeat the link compressor entirely
+    dep = rng.uniform(0.5, 6.0, (480, 640)).astype(np.float32)
+    rgb = rng.uniform(0.0, 1.0, (480, 640, 3)).astype(np.float32)
+    noise_ms = up10(pack_frame(dep, rgb))
+    # realistic: smooth surfaces like real RGB-D frames (row deltas small)
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    dep_s = 2.0 + yy / 300 + np.sin(xx / 40) * 0.3
+    rgb_s = np.stack([xx / 640, yy / 480, (xx + yy) / 1120], -1)
+    smooth_ms = up10(pack_frame(dep_s, rgb_s.astype(np.float32)))
+    print(f"# tunnel probe: dispatch_rtt={rtt_ms:.2f}ms frame_upload "
+          f"noise={noise_ms:.1f}ms smooth={smooth_ms:.1f}ms (1.54 MB packed)",
+          file=sys.stderr)
+
+
 def main():
     from remixfusion_tpu.config import load_config
     from remixfusion_tpu.slam import RemixFusionTPU
+
+    probe_tunnel()
 
     # 200 frames (170 steady) halves the run-to-run spread of the shorter
     # 120-frame window (tunnel/queue jitter is ±1.5 FPS on 90 frames); the
@@ -87,10 +135,11 @@ def main():
             jax.profiler.stop_trace()
         t_f = time.perf_counter()
         frame_stamps.append(time.strftime("%H:%M:%S"))
-        # Seed the host cache so the in-loop device prefetch of idx+1 finds
-        # the pre-rendered frame instead of re-raytracing it.
-        if idx + 1 < n_frames:
-            slam._cache_frame(idx + 1, frames[idx + 1])
+        # Seed the host cache so the in-loop device prefetch (2 deep) finds
+        # the pre-rendered frames instead of re-raytracing them.
+        for ahead in (1, 2):
+            if idx + ahead < n_frames:
+                slam._cache_frame(idx + ahead, frames[idx + ahead])
         slam.track_frame(idx, frames[idx])
         mapped = False
         while slam.tracking_idx > slam.mapping_idx + map_every:
@@ -144,6 +193,7 @@ def main():
     print(f"# frames={measured_frames} elapsed={elapsed:.2f}s "
           f"track={track_ms:.1f}ms/frame map_round={map_ms:.1f}ms",
           file=sys.stderr)
+    probe_tunnel()  # post-run probe: conditions drift within a run
 
     if os.environ.get("BENCH_MESH"):
         try:

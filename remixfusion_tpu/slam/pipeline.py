@@ -811,6 +811,12 @@ class RemixFusionTPU:
             try:
                 nxt_batch = self._get_frame(nxt)
                 self._dev_frames.prefetch(nxt, nxt_batch)
+                # two-deep upload queue: the tunnel's bandwidth fluctuates
+                # second-to-second (probe: 35 -> 65 ms within one bench
+                # run), so a second in-flight frame lets a fast second
+                # absorb a slow one instead of stalling the fuser
+                if nxt + 1 < self.dataset.num_frames:
+                    self._dev_frames.prefetch(nxt + 1, self._get_frame(nxt + 1))
                 sc = self._sel_cache
                 need_sel = (sc is None or nxt - sc[0] >= self._sel_reuse
                             or not np.array_equal(

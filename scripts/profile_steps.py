@@ -1,10 +1,11 @@
 """Per-program device timing of the online-SLAM hot loop.
 
 Builds the pipeline from a config, settles it for a few frames, then times
-each jitted program in isolation (block_until_ready around repeated calls):
-track, per-brick-bucket fuse, global tiled integrate, map_step_dev,
-ba_step_dev. This is the precise attribution the frame-wall numbers in
-bench.py can't give (async dispatch overlaps programs).
+each jitted program in isolation (per-rep forced by a 1-element readback —
+block_until_ready does not await unread dispatches over the tunnel): track,
+per-brick-bucket fuse, global tiled integrate, map_step_dev, ba_step_dev.
+This is the precise attribution the frame-wall numbers in bench.py can't
+give (async dispatch overlaps programs).
 
 Usage:
   python scripts/profile_steps.py [config] [--frames N] [--reps N]
@@ -29,12 +30,21 @@ from remixfusion_tpu.utils.runtime import setup_compilation_cache
 setup_compilation_cache()
 
 
+def _force(out):
+    """Force execution of `out` with a 1-element readback. On the tunneled
+    backend block_until_ready does NOT await dispatches whose results are
+    never read (lazy/async client), so timing must read something back."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[0])
+
+
 def timeit(fn, reps=10):
-    fn()  # warm
+    """Per-rep forced timing. Adds one tunnel RTT (~1-2 ms) per rep on top
+    of the device wall — fine for the 10-50 ms programs timed here."""
+    _force(fn())  # warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
+        _force(fn())
     return 1000 * (time.perf_counter() - t0) / reps
 
 
@@ -76,7 +86,7 @@ def main():
                 break
             slam.mapping_round(cur)
     slam._harvest_pending_track()
-    jax.block_until_ready(slam.mv.state.tsdf)
+    _force(slam.mv.state.tsdf)
 
     idx = args.frames - 1
     batch = frames[idx]
@@ -146,8 +156,9 @@ def main():
         b = slam.mapper.integrate_keyframe(
             b, dep_dev, rgb_dev, slam.K_dev, pose_dev,
             slam.bound, host_depth=depth, host_c2w=init)
-    # gbq is the per-keyframe product now (dense mirrors rebuild lazily)
-    jax.block_until_ready(b.gbq)
+    # gbq is the per-keyframe product now (dense mirrors rebuild lazily);
+    # chained via the donated buffers, forced by a 1-element readback
+    _force(b.gbq)
     print(f"integrate_keyframe: "
           f"{1000 * (time.perf_counter() - t0) / args.reps:.2f} ms")
     slam.buffers = b
