@@ -36,15 +36,28 @@ from remixfusion_tpu.models.scene_rep import SceneBuffers, SceneParams, SceneRep
 from remixfusion_tpu.ops import tsdf as tsdf_ops
 
 
-@jax.jit
+_pack_gbq_jits: dict = {}
+
+
 def _pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
-    """Oct-packed query mirror (see tsdf.oct_pack_gbq — the one shared
-    definition of the wire format). Used by the dense-fallback/reset/
-    checkpoint paths; the tiled keyframe integrator emits the same mirror
-    in-program. The fusion weight is NOT packed: no hot-path query
-    consumes it (the render path uses rgb+tsdf only). See
-    SceneBuffers.gbq."""
-    return tsdf_ops.oct_pack_gbq(gbv)
+    """Full (cold-path) build of the oct-packed query mirror, in the SAME
+    row order the grid's layout implies: tile-major when the grid has a
+    tiled integrate path (pick_global_tile(R) set — the hot path then
+    refreshes rows incrementally, tsdf.make_gbq_refresher), plain z-major
+    dense otherwise. Row addressing is tsdf.gbq_row_index — shared with
+    the consumer (scene_rep.query_gbvw_fast) so the layouts cannot drift.
+    Used by the dense-fallback/reset/checkpoint paths. The fusion weight
+    is NOT packed: no hot-path query consumes it. See SceneBuffers.gbq."""
+    R = int(gbv.shape[0])
+    tile = tsdf_ops.pick_global_tile(R)
+    key = (R, tile)
+    if key not in _pack_gbq_jits:
+        if tile is None:
+            _pack_gbq_jits[key] = jax.jit(tsdf_ops.oct_pack_gbq)
+        else:
+            _pack_gbq_jits[key] = jax.jit(
+                lambda v, _t=tile: tsdf_ops.oct_pack_gbq_tm(v, _t))
+    return _pack_gbq_jits[key](gbv)
 
 
 def _label_tree(params: SceneParams, hash_label, decoder_label, rba_label):
@@ -141,12 +154,14 @@ class Mapper:
         Pure numpy over host arrays — safe on a worker thread (the online
         pipeline overlaps it with the device wait; see
         pipeline._queue_integrate_lookahead). Returns (offs [budget, 3]
-        np.int32 padded with -1, budget) or (None, None) for the dense
+        np.int32 padded with -1, budget, offs2 [budget2, 3], budget2) —
+        offs2/budget2 the -1-dilated set for the chained gbq-mirror
+        refresh (tsdf.dilate_tiles) — or (None,) * 4 for the dense
         sweep."""
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if host_depth is None or tile is None:
-            return None, None
+            return None, None, None, None
         bound_np = np.asarray(bound, np.float64)
         vs = (bound_np[:, 1] - bound_np[:, 0]) / R
         dmax = float(np.max(host_depth))
@@ -168,9 +183,14 @@ class Mapper:
             (b for b in tsdf_ops.global_budget_buckets(n_total)
              if b >= offs.shape[0]), n_total)
         if budget >= n_total:
-            return None, None  # no saving; use the dense path
+            return None, None, None, None  # no saving; use the dense path
         pad = np.full((budget - offs.shape[0], 3), -1, np.int32)
-        return np.concatenate([offs, pad], 0), budget
+        offs2 = tsdf_ops.dilate_tiles(offs, tile)
+        budget2 = next(b for b in tsdf_ops.gbq_refresh_buckets(n_total)
+                       if b >= offs2.shape[0])
+        pad2 = np.full((budget2 - offs2.shape[0], 3), -1, np.int32)
+        return (np.concatenate([offs, pad], 0), budget,
+                np.concatenate([offs2, pad2], 0), budget2)
 
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
                            bound, obs_weight: float = 1.0,
@@ -195,9 +215,9 @@ class Mapper:
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if precomputed_tiles is not None:
-            offs, budget = precomputed_tiles
+            offs, budget, offs2, budget2 = precomputed_tiles
         elif host_depth is not None and tile is not None:
-            offs, budget = self.select_integrate_tiles(
+            offs, budget, offs2, budget2 = self.select_integrate_tiles(
                 host_depth,
                 host_c2w if host_c2w is not None else np.asarray(c2w),
                 np.asarray(K), bound, im_h, im_w)
@@ -212,11 +232,23 @@ class Mapper:
                         R, tile, budget, im_h=im_h, im_w=im_w,
                         trunc_margin=self.config["training"]["c_trunc"])
             gbv_tm, gbw_tm = self.ensure_tile_major(buffers, tile)
-            gbv_tm, gbw_tm, gbq = self._integrate_fns[ikey](
+            gbv_tm, gbw_tm = self._integrate_fns[ikey](
                 gbv_tm, gbw_tm, jnp.asarray(offs),
                 jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(K),
                 jnp.asarray(c2w), jnp.asarray(bound, jnp.float32),
                 jnp.asarray(obs_weight, jnp.float32))
+            # chained incremental refresh of the bf16 query mirror: only
+            # the dilated changed tiles are repacked (a full repack is
+            # ~20 ms/keyframe at R=200, ~half the integrate)
+            gbq_prev = buffers.gbq
+            if gbq_prev is None:  # cold start: dense gbv is still fresh
+                gbq_prev = _pack_gbq(buffers.gbv)
+            rkey = ("gbq", tile, budget2)
+            if rkey not in self._integrate_fns:
+                self._integrate_fns[rkey] = tsdf_ops.make_gbq_refresher(
+                    R, tile, budget2)
+            gbq = self._integrate_fns[rkey](gbq_prev, gbv_tm,
+                                            jnp.asarray(offs2))
             # the carried dense mirrors are now STALE — the hot map/BA
             # programs only read gbq; cold consumers (mesh/ckpt/dense
             # fallback) must go through ensure_dense first

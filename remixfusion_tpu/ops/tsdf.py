@@ -525,17 +525,16 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
     materializing the tile-major transpose pair around its row
     gather/scatter (the t-length inner runs defeat lane vectorization).
     Keeping the grid's PRIMARY copy tile-major ([NT, t^3, 4] / [NT, t^3])
-    makes the move two plain row ops. The only per-keyframe dense product
-    is the bf16 gbq query mirror (the one thing the hot map/BA programs
-    read), packed via ONE bf16 from_tm — half the transpose traffic of an
-    f32 dense emit, and the f32 dense mirrors the cold consumers read
-    (mesh/ckpt/sharding/dense-fallback) are rebuilt lazily by
-    Mapper.ensure_dense instead of per keyframe. Same tile_update math —
-    results are bitwise identical to the dense path (cast-then-permute ==
-    permute-then-cast).
+    makes the move two plain row ops. The bf16 gbq query mirror (the one
+    thing the hot map/BA programs read) is refreshed by a separate chained
+    make_gbq_refresher dispatch over only the dilated changed tiles, and
+    the f32 dense mirrors the cold consumers read (mesh/ckpt/sharding/
+    dense-fallback) are rebuilt lazily by Mapper.ensure_dense instead of
+    per keyframe. Same tile_update math — results are bitwise identical
+    to the dense path.
 
     Returns integ(gbv_tm, gbw_tm, offsets, depth, rgb, K, c2w, bound,
-    obs_weight) -> (gbv_tm', gbw_tm', gbq')."""
+    obs_weight) -> (gbv_tm', gbw_tm')."""
     t = int(tile)
     to_tm, from_tm, tile_update, pack_img, tile_ids = \
         _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin)
@@ -552,10 +551,11 @@ def make_global_tiled_integrator_tm(R: int, tile: int, budget: int, *,
                              obs_weight)
         gbv_tm = gbv_tm.at[ids].set(vs, mode="drop", unique_indices=True)
         gbw_tm = gbw_tm.at[ids].set(ws, mode="drop", unique_indices=True)
-        # bf16-first: the layout move runs at half the f32 byte traffic,
-        # and bf16(from_tm(x)) == from_tm(bf16(x)) elementwise
-        gbq = oct_pack_gbq(from_tm(gbv_tm.astype(jnp.bfloat16)))
-        return gbv_tm, gbw_tm, gbq
+        # the bf16 gbq query mirror is refreshed INCREMENTALLY by a chained
+        # make_gbq_refresher dispatch over the dilated changed-tile set —
+        # repacking the whole mirror here cost ~20 ms/keyframe (measured)
+        # for a sixteenth-of-grid update
+        return gbv_tm, gbw_tm
 
     return integ
 
@@ -578,6 +578,140 @@ def oct_pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
                 parts.append(jnp.roll(flat, -(dx * R * R + dy * R + dz),
                                       axis=0))
     return jnp.concatenate(parts, -1)
+
+
+def oct_pack_gbq_tm(gbv: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """Full (cold-path) build of the TILE-MAJOR oct-packed query mirror:
+    [NT, t^3, 32] bf16 (row [tid, local] = the 8 trilinear corners of cell
+    (x,y,z), see gbq_tm_index). Kept 3-D so the incremental refresher's
+    row scatter aliases the donated buffer in place — a flat view forces
+    XLA to copy the whole ~0.5 GB mirror (measured 7 ms vs 64 ms).
+    Out-of-grid +1 corners are ZERO (queries clamp their base to R-2 and
+    never read those rows) — the same convention as make_gbq_refresher,
+    so full pack and refresh agree bitwise everywhere."""
+    R = gbv.shape[0]
+    t = int(tile)
+    g = jnp.pad(gbv.astype(jnp.bfloat16), ((0, 1), (0, 1), (0, 1), (0, 0)))
+    parts = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                parts.append(g[dx:dx + R, dy:dy + R, dz:dz + R])
+    rows = jnp.concatenate(parts, -1)  # [R, R, R, 32]
+    to_tm, _ = tile_major_view(R, t)
+    return to_tm(rows)
+
+
+def gbq_tm_index(R: int, tile: int, x, y, z):
+    """(tid, local) index of cell (x, y, z) in the tile-major gbq mirror
+    [NT, t^3, 32]. Pure integer arithmetic — the consumer's gather is
+    still one 32-wide row per point."""
+    t = int(tile)
+    T = R // t
+    tid = ((x // t) * T + (y // t)) * T + (z // t)
+    local = ((x % t) * t + (y % t)) * t + (z % t)
+    return tid, local
+
+
+def make_gbq_refresher(R: int, tile: int, budget: int):
+    """Incremental gbq-mirror refresh: rebuild the bf16 oct-packed rows of
+    ONLY the given tiles (padded offsets, -1 rows dropped) from the
+    tile-major grid. The caller passes the DILATED changed-tile set (every
+    changed tile plus its -1 neighbors in each axis combination): cell
+    (x,y,z)'s row reads voxels (x..x+1, y..y+1, z..z+1), so a voxel change
+    inside tile T can only affect rows of T and of tiles one step below it
+    per axis. A full repack moves ~1.1 GB at R=200 (~20 ms measured); the
+    dilated set is typically <= 1/4 of the grid.
+
+    Corner values at the global boundary (any coordinate == R-1) read the
+    out-of-range +1 neighbor as 0 — same convention as oct_pack_gbq_tm;
+    those rows are junk a query can never touch (trilinear bases clamp
+    to R-2).
+
+    Returns refresh(gbq [NT, t^3, 32] bf16 donated — updated IN PLACE via
+    row scatter, gbv_tm [NT, t^3, 4], offsets [budget, 3]) -> gbq'."""
+    t = int(tile)
+    T = R // t
+    NT = T ** 3
+    t3 = t ** 3
+
+    def tile_ids(offsets):
+        valid = offsets[:, 0] >= 0
+        o = jnp.maximum(offsets, 0) // t
+        tid = (o[:, 0] * T + o[:, 1]) * T + o[:, 2]
+        B = offsets.shape[0]
+        ids = jnp.where(valid, tid, NT + jnp.arange(B, dtype=tid.dtype))
+        return o, ids
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def refresh(gbq, gbv_tm, offsets):
+        o, ids = tile_ids(offsets)
+        B = offsets.shape[0]
+
+        def nbr(sx, sy, sz):
+            # +1-tile neighbor ids; out-of-range coordinates -> dropped
+            # gather (fill 0)
+            ok = ((o[:, 0] + sx < T) & (o[:, 1] + sy < T)
+                  & (o[:, 2] + sz < T))
+            nid = ids + (sx * T + sy) * T + sz
+            nid = jnp.where(ok, nid, NT)
+            v = gbv_tm.at[nid].get(mode="fill", fill_value=0.0)
+            return v.astype(jnp.bfloat16).reshape(B, t, t, t, 4)
+
+        def cz(a, b):
+            return jnp.concatenate([a, b[:, :, :, :1]], axis=3)
+
+        def cy(a, b):
+            return jnp.concatenate([a, b[:, :, :1]], axis=2)
+
+        def cx(a, b):
+            return jnp.concatenate([a, b[:, :1]], axis=1)
+
+        # extended tile [B, t+1, t+1, t+1, 4] stitched from self + 7
+        # +1-neighbors; corners are then static slices
+        E = cx(cy(cz(nbr(0, 0, 0), nbr(0, 0, 1)),
+                  cz(nbr(0, 1, 0), nbr(0, 1, 1))),
+               cy(cz(nbr(1, 0, 0), nbr(1, 0, 1)),
+                  cz(nbr(1, 1, 0), nbr(1, 1, 1))))
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(E[:, dx:dx + t, dy:dy + t, dz:dz + t])
+        rows = jnp.concatenate(parts, -1).reshape(B, t3, 32)
+        return gbq.at[ids].set(rows, mode="drop", unique_indices=True)
+
+    return refresh
+
+
+def dilate_tiles(offs: "np.ndarray", tile: int) -> "np.ndarray":
+    """Host-side: the -1-neighbor dilation of a changed-tile set (voxel
+    offsets, multiples of `tile`) — the exact set of tiles whose gbq rows
+    can be affected by changes inside `offs` (see make_gbq_refresher).
+    Drops out-of-grid negatives; returns unique rows [M, 3] int32."""
+    import numpy as np
+    t = int(tile)
+    out = []
+    for dx in (0, -t):
+        for dy in (0, -t):
+            for dz in (0, -t):
+                out.append(offs + np.asarray([dx, dy, dz], offs.dtype))
+    cat = np.concatenate(out, axis=0)
+    cat = cat[(cat >= 0).all(axis=1)]
+    return np.unique(cat, axis=0).astype(np.int32)
+
+
+def gbq_refresh_buckets(n_total: int) -> list:
+    """Coarse tile-count buckets for make_gbq_refresher: {1/8, 1/4, 1/2,
+    1} of the tile count. The refresher is a small gather/concat/scatter
+    program, so few compile variants beat tight padding (padded tiles only
+    pay their own gather+write)."""
+    out = []
+    for d in (8, 4, 2, 1):
+        b = -(-n_total // d)
+        if b not in out:
+            out.append(b)
+    return out
 
 
 def tile_major_view(R: int, tile: int):

@@ -367,6 +367,18 @@ class RemixFusionTPU:
                     jnp.asarray(1.0, jnp.float32))
                 jax.block_until_ready(out[0])
                 del out
+            # chained gbq-mirror refresh buckets (dummy donated mirror)
+            for budget2 in tsdf_ops.gbq_refresh_buckets(n_total):
+                rkey = ("gbq", tile, budget2)
+                if rkey not in self.mapper._integrate_fns:
+                    self.mapper._integrate_fns[rkey] = \
+                        tsdf_ops.make_gbq_refresher(R, tile, budget2)
+                out = self.mapper._integrate_fns[rkey](
+                    jnp.zeros((n_total, t3, 32), jnp.bfloat16),
+                    jnp.zeros((n_total, t3, 4), jnp.float32),
+                    jnp.full((budget2, 3), -1, jnp.int32))
+                jax.block_until_ready(out)
+                del out
             # lazy dense rebuild (ensure_dense: first mesh/ckpt/fallback
             # after a tiled keyframe)
             was_stale = self.mapper.dense_stale

@@ -167,9 +167,11 @@ def test_tiled_integrate_lazy_dense_and_ensure_dense():
     offs = (np.stack([ii, jj, kk], -1).reshape(-1, 3) * t).astype(np.int32)
     gbv0 = np.asarray(buffers.gbv)
 
+    offs2 = tsdf_ops.dilate_tiles(offs, t)  # full coverage dilates to itself
     tiled = mapper.integrate_keyframe(
         buffers, jnp.asarray(f["depth"]), jnp.asarray(f["rgb"]), K,
-        jnp.asarray(f["c2w"]), bound, precomputed_tiles=(offs, len(offs)))
+        jnp.asarray(f["c2w"]), bound,
+        precomputed_tiles=(offs, len(offs), offs2, len(offs2)))
     assert mapper.dense_stale
     assert tiled.gbv_tm is not None
     # carried dense mirror is STALE (untouched by the tiled program)

@@ -238,10 +238,13 @@ def test_tile_major_integrator_matches_dense_variant():
     """The production keyframe integrator (tile-major primary copies,
     ops.tsdf.make_global_tiled_integrator_tm) must reproduce the dense
     variant bitwise — the tile-major primaries map back to the dense
-    result, and the in-program bf16 gbq pack equals mapper._pack_gbq of
-    the dense grid (cast-then-permute == permute-then-cast)."""
+    result — and the chained incremental gbq refresh over the dilated
+    changed-tile set (tsdf.make_gbq_refresher + dilate_tiles) must equal
+    the full tile-major pack of the updated grid on EVERY row: rows inside
+    the dilated set by the rebuild, rows outside it because their corner
+    voxels did not change (this is exactly the dilation-correctness
+    claim)."""
     import jax.numpy as jnp
-    from remixfusion_tpu.mapping.mapper import _pack_gbq
     from remixfusion_tpu.ops import tsdf as tsdf_ops
 
     R, t = 20, 10
@@ -271,16 +274,24 @@ def test_tile_major_integrator_matches_dense_variant():
         owj = jnp.asarray(ow, jnp.float32)
         dv, dw = dense_fn(gbv.copy(), gbw.copy(), offs, depth, rgb, K,
                           c2w, bound, owj)
-        v_tm, w_tm, gbq = tm_fn(to_tm(gbv.copy()), to_tm(gbw.copy()),
-                                offs, depth, rgb, K, c2w, bound, owj)
+        v_tm, w_tm = tm_fn(to_tm(gbv.copy()), to_tm(gbw.copy()),
+                           offs, depth, rgb, K, c2w, bound, owj)
         # tile-major primaries map back to the dense-variant result
         np.testing.assert_array_equal(np.asarray(dv),
                                       np.asarray(from_tm(v_tm)))
         np.testing.assert_array_equal(np.asarray(dw),
                                       np.asarray(from_tm(w_tm)))
-        # in-program bf16 gbq == the shared pack of the dense result
-        np.testing.assert_array_equal(np.asarray(gbq),
-                                      np.asarray(_pack_gbq(dv)))
+        # incremental gbq refresh (dilated tiles) == full pack of the
+        # updated grid, bitwise on every row
+        offs2 = tsdf_ops.dilate_tiles(np.asarray(offs[:4]), t)
+        budget2 = offs2.shape[0] + 3  # exercise -1 padding too
+        offs2 = np.concatenate(
+            [offs2, np.full((3, 3), -1, np.int32)], axis=0)
+        refresh = tsdf_ops.make_gbq_refresher(R, t, budget2)
+        gbq0 = tsdf_ops.oct_pack_gbq_tm(gbv, t)
+        gbq = refresh(gbq0, v_tm, jnp.asarray(offs2))
+        np.testing.assert_array_equal(
+            np.asarray(gbq), np.asarray(tsdf_ops.oct_pack_gbq_tm(dv, t)))
 
 
 def test_device_pose_prediction_matches_host():
