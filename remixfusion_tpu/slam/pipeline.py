@@ -92,13 +92,27 @@ class RemixFusionTPU:
 
         init_pose = self._first_pose(self.dataset[0])
         self.mv = MovingVolume(config, init_pose)
-        # The tracker reads a DENSE [X, Y, Z] tsdf view (one in-program
-        # transpose of the brick-major fusion state per frame): dense
-        # z-runs let the per-pixel window fetch use side^2 slice-gathers
-        # instead of side^3 element gathers (rotracker._fetch_windows).
+        # Window-mirror source for the tracker: with a brick-major local
+        # volume and window-based eval (brick/pallas, side 4), the
+        # quad-pack mirror is built straight from brick-major by the MXU
+        # interleave (rotracker._quad_pack_bm) — no per-frame dense view.
+        # Other modes read a DENSE [X, Y, Z] view (one in-program
+        # transpose per frame); 'gather' mode keeps exact f32 semantics.
+        ro_mode = config["RO"].get("eval_mode", "gather")
+        dt_default = "float32" if ro_mode == "gather" else "bfloat16"
+        track_dt = config["volume"].get("track_dtype", dt_default)
+        use_qpack_bm = (self.mv.brick
+                        and ro_mode in ("brick", "pallas")
+                        and int(config["RO"].get("brick_radius", 2)) == 2
+                        and track_dt == "bfloat16"
+                        and self.mv.brick >= 4)
+        qpack_bm = ((self.mv.brick, self.mv.dims[1] // self.mv.brick,
+                     self.mv.dims[2] // self.mv.brick)
+                    if use_qpack_bm else None)
         self.tracker = ROTracker(
             config, self.dataset.H, self.dataset.W, self.dataset.K(),
-            self.mv.dims, self.mv.voxel_size, brick_layout=None)
+            self.mv.dims, self.mv.voxel_size, brick_layout=None,
+            qpack_bm=qpack_bm)
         self.K_dev = jnp.asarray(self.dataset.K())
         # static per-pixel camera-frame ray direction grid [H*W, 3]
         self.dirs_dev = jnp.asarray(
@@ -566,7 +580,13 @@ class RemixFusionTPU:
             dt = self.config["volume"].get("track_dtype", dt_default)
             cast = (lambda t: t.astype(jnp.bfloat16)) \
                 if dt == "bfloat16" else (lambda t: t)
-            if mv.brick:
+            if self.tracker.qpack_bm is not None:
+                # brick-major straight through — the tracker builds its
+                # quad-pack mirror from it in-jit (MXU interleave); the
+                # cast rides inside _quad_pack_bm
+                def conv(t):
+                    return t
+            elif mv.brick:
                 from remixfusion_tpu.ops.tsdf import bm_to_dense
                 b = mv.brick
                 dims = mv.dims

@@ -58,7 +58,7 @@ class TrackResult(NamedTuple):
 class ROTracker:
     def __init__(self, cfg, H: int, W: int, K: np.ndarray,
                  vol_dims, voxel_size: float, brick_layout=None,
-                 mesh=None):
+                 mesh=None, qpack_bm=None):
         self.cfg = cfg
         # Candidate-sharded multi-chip tracking: with a jax.sharding.Mesh,
         # every tier evaluation's per-candidate sums are constrained to
@@ -77,6 +77,27 @@ class ROTracker:
         # flattened-index arithmetic below switches accordingly. The voxels
         # read are identical either way.
         self.brick_layout = tuple(brick_layout) if brick_layout else None
+        # qpack_bm = (b, BY, BZ): the track volume arrives BRICK-MAJOR and
+        # the quad-pack window mirror is built straight from it by two
+        # one-hot matmuls (_quad_pack_bm) — no dense intermediate, no
+        # transpose; window rows are addressed with bm_vox_flat. Identical
+        # window values to the dense-view + _quad_pack path (parity test),
+        # ~2.5x cheaper (the MXU does the 4-wide interleave).
+        self.qpack_bm = tuple(qpack_bm) if qpack_bm else None
+        if self.qpack_bm is not None:
+            b = self.qpack_bm[0]
+            assert b >= 4, "qpack_bm needs brick >= window z-run (4)"
+            m_own = np.zeros((b, 4 * b), np.float32)
+            m_next = np.zeros((b, 4 * b), np.float32)
+            for lz in range(b):
+                for k in range(4):
+                    src = lz + k
+                    if src < b:
+                        m_own[src, lz * 4 + k] = 1.0
+                    else:
+                        m_next[src - b, lz * 4 + k] = 1.0
+            self._qpack_m_own = jnp.asarray(m_own, jnp.bfloat16)
+            self._qpack_m_next = jnp.asarray(m_next, jnp.bfloat16)
 
         # 'gather': one random volume gather per (candidate, pixel) — exact
         # reference semantics. 'brick': per-pixel 4^3 TSDF bricks around the
@@ -273,14 +294,46 @@ class ROTracker:
         return jnp.stack([jnp.roll(tsdf_flat, -k) for k in range(4)],
                          axis=-1)
 
+    def _quad_pack_bm(self, tsdf_bm):
+        """Quad-pack mirror built STRAIGHT from the brick-major volume:
+        [NB*b^3, 4] bf16 where row bm_vox_flat(x,y,z) = dense[z..z+3].
+
+        Two one-hot matmuls over the brick z-axis do the 4-wide interleave
+        on the MXU (value at local z' lands in rows z'-3..z'; runs reaching
+        past the brick pull from the z+1 brick via a shifted view) — no
+        dense intermediate, no transpose, ~4 GFLOP + one read/one write of
+        the volume. f32 accumulation of a one-hot matmul reproduces the
+        bf16 inputs exactly, so windows match the dense _quad_pack path
+        bitwise. Rows whose z-run crosses the volume's +z face read 0
+        (window bases clamp side voxels from every face, never read)."""
+        b, BY, BZ = self.qpack_bm
+        X, Y, Z = self.vol_dims
+        nbxy = (X // b) * BY
+        A = tsdf_bm.reshape(nbxy, BZ, b * b, b).astype(jnp.bfloat16)
+        An = jnp.concatenate([A[:, 1:], jnp.zeros_like(A[:, :1])], axis=1)
+        Q = (jnp.einsum('abcl,lm->abcm', A, self._qpack_m_own,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum('abcl,lm->abcm', An, self._qpack_m_next,
+                          preferred_element_type=jnp.float32))
+        return Q.astype(jnp.bfloat16).reshape(-1, 4)
+
     def _fetch_windows(self, vol, base, side: int):
         """Per-pixel TSDF windows [P, side^3] around base [P, 3], cell
         order (dx*side + dy)*side + dz.
 
-        vol = (tsdf_flat, qpack|None). Dense layout with the quad-packed
-        mirror: side^2 single-row gathers per pixel (one per z-run).
-        Brick-major layout: per-cell fallback."""
+        vol = (tsdf_flat, qpack|None). With a quad-packed mirror (dense or
+        brick-major rows): side^2 single-row gathers per pixel (one per
+        z-run). Brick-major layout without a mirror: per-cell fallback."""
         tsdf_flat, qpack = vol
+        if self.qpack_bm is not None and qpack is not None and side == 4:
+            from remixfusion_tpu.ops.tsdf import bm_vox_flat
+            d = jnp.arange(side)
+            ox = jnp.repeat(d, side)[None, :]          # [1, side^2]
+            oy = jnp.tile(d, side)[None, :]
+            starts = bm_vox_flat(self.qpack_bm, base[:, 0:1] + ox,
+                                 base[:, 1:2] + oy, base[:, 2:3])
+            rows = qpack[starts.reshape(-1)]           # [P*side^2, 4]
+            return rows.reshape(-1, side ** 3)
         if self.brick_layout is None and qpack is not None and side == 4:
             X, Y, Z = self.vol_dims
             d = jnp.arange(side)
@@ -621,7 +674,13 @@ class ROTracker:
         depth_level = self.depth_level
 
         def track(tsdf_flat, origin, c2w_init, depth, key, ss_init):
-            if (self.brick_layout is None and self.brick_r == 2
+            if (self.qpack_bm is not None and self.brick_r == 2
+                    and self.eval_mode in ("brick", "pallas")):
+                # brick-major source: mirror via the MXU interleave; the
+                # raw volume itself is never read (windows come from the
+                # mirror), so XLA dead-code-eliminates any dense view
+                vol = (tsdf_flat, self._quad_pack_bm(tsdf_flat))
+            elif (self.brick_layout is None and self.brick_r == 2
                     and self.eval_mode in ("brick", "pallas")):
                 vol = (tsdf_flat, self._quad_pack(tsdf_flat))
             else:

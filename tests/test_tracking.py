@@ -274,3 +274,42 @@ def test_subset_vertex_normal_matches_full_image():
             np.testing.assert_allclose(np.asarray(n_f), np.asarray(n_s),
                                        atol=1e-5)
             assert np.array_equal(np.asarray(ok_f), np.asarray(ok_s))
+
+
+def test_quad_pack_bm_track_matches_dense_mirror_path():
+    """The brick-major quad-pack (rotracker._quad_pack_bm: MXU one-hot
+    interleave straight from the fusion layout, no dense intermediate)
+    must produce bitwise-identical tracking to the dense-view + _quad_pack
+    path: same bf16 window values, same candidate scores, same pose."""
+    from remixfusion_tpu.ops.tsdf import bm_to_dense
+
+    cfg = tiny_config(RO={"particle_iter_lens": 8, "init_size": 0.04,
+                          "depth_level": [4, 2, 1], "eval_mode": "brick"},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=4)
+    b = mv.brick
+    assert b and b >= 4 and mv.brick_layout() is not None
+
+    tr_dense = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                         brick_layout=None)
+    tr_bm = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                      brick_layout=None, qpack_bm=mv.brick_layout())
+    assert tr_bm.qpack_bm is not None
+
+    f = ds[4]
+    init = jnp.asarray(np.asarray(ds[3]["c2w"], np.float32))
+    depth = jnp.asarray(f["depth"])
+    key = jax.random.PRNGKey(3)
+    ss = tr_dense.init_search_size()
+
+    tsdf_bm = mv.state.tsdf  # [NB, b^3] f32
+    dense_bf16 = bm_to_dense(tsdf_bm.astype(jnp.bfloat16).reshape(-1, b ** 3),
+                             mv.dims, b).reshape(-1)
+
+    res_d = tr_dense._track(dense_bf16, mv.state.origin, init, depth, key, ss)
+    res_b = tr_bm._track(tsdf_bm, mv.state.origin, init, depth, key, ss)
+    np.testing.assert_array_equal(np.asarray(res_d.c2w),
+                                  np.asarray(res_b.c2w))
+    np.testing.assert_array_equal(np.asarray(res_d.origin_value),
+                                  np.asarray(res_b.origin_value))
