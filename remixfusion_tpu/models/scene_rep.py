@@ -51,13 +51,15 @@ class SceneBuffers(NamedTuple):
     gbw: jnp.ndarray       # [R, R, R] fusion weights
     rba: RBABuffers
     # Derived oct-packed query mirror: row of cell i = (tsdf, rgb) of all
-    # 8 trilinear corners of i (see mapper._pack_gbq). Tile-major
-    # [NT, t^3, 32] when the grid has a tiled integrate layout (refreshed
-    # incrementally per keyframe, tsdf.make_gbq_refresher), flat
-    # [R^3, 32] otherwise. Trilinear queries then cost ONE gather row per
-    # point instead of 8+8 narrow ones — gathers on TPU are per-row
-    # latency-priced. None = fall back to the direct 8-corner path
-    # (mesh/eval tools, tests).
+    # 8 trilinear corners of i (see mapper._pack_gbq). Flat [R^3+t^3, 32]
+    # in tile-major row order when the grid has a tiled integrate layout
+    # (refreshed incrementally per keyframe, tsdf.make_gbq_refresher;
+    # t^3 scratch-tail rows absorb padded refresh slots), flat [R^3, 32]
+    # z-major otherwise; row addressing = tsdf.gbq_row_index either way.
+    # Trilinear queries then cost ONE gather row per point instead of
+    # 8+8 narrow ones — gathers on TPU are per-row latency-priced.
+    # None = fall back to the direct 8-corner path (mesh/eval tools,
+    # tests).
     gbq: jnp.ndarray | None = None
     # Tile-major PRIMARY copies [(R/t)^3, t^3(, 4)] owned by the tiled
     # keyframe integrator (mapper.integrate_keyframe): updating tiles as
@@ -128,18 +130,14 @@ class SceneRepresentation:
         path. The fusion weight is intentionally not returned — no hot
         caller needs it (query_gbw serves the cold paths)."""
         if buffers.gbq is not None:
-            from remixfusion_tpu.ops.tsdf import gbq_tm_index
+            from remixfusion_tpu.ops.tsdf import gbq_row_index
             R = self.gbv_resolution
             pos = pts * R
             low = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, R - 2)
             frac = jnp.clip(pos - low.astype(jnp.float32), 0.0, 1.0)
-            if buffers.gbq.ndim == 3:  # tile-major mirror [NT, t^3, 32]
-                tid, local = gbq_tm_index(R, self.gbq_tile,
-                                          low[:, 0], low[:, 1], low[:, 2])
-                row = buffers.gbq[tid, local]       # [N, 32] = 8 corners x 4
-            else:
-                base = low[:, 0] * (R * R) + low[:, 1] * R + low[:, 2]
-                row = buffers.gbq[base]             # [N, 32] = 8 corners x 4
+            base = gbq_row_index(R, self.gbq_tile,
+                                 low[:, 0], low[:, 1], low[:, 2])
+            row = buffers.gbq[base]                 # [N, 32] = 8 corners x 4
             out = jnp.zeros((pts.shape[0], 4), jnp.float32)
             k = 0
             for dx in (0, 1):

@@ -581,11 +581,15 @@ def oct_pack_gbq(gbv: jnp.ndarray) -> jnp.ndarray:
 
 
 def oct_pack_gbq_tm(gbv: jnp.ndarray, tile: int) -> jnp.ndarray:
-    """Full (cold-path) build of the TILE-MAJOR oct-packed query mirror:
-    [NT, t^3, 32] bf16 (row [tid, local] = the 8 trilinear corners of cell
-    (x,y,z), see gbq_tm_index). Kept 3-D so the incremental refresher's
-    row scatter aliases the donated buffer in place — a flat view forces
-    XLA to copy the whole ~0.5 GB mirror (measured 7 ms vs 64 ms).
+    """Full (cold-path) build of the oct-packed query mirror in TILE-MAJOR
+    ROW ORDER: flat [R^3 + t^3, 32] bf16, row of cell (x,y,z) at
+    gbq_row_index (= tid * t^3 + local). The t^3 extra SCRATCH rows at the
+    tail absorb the incremental refresher's padded (-1) tile slots —
+    queries never index past R^3. The layout is flat (not [NT, t^3, 32])
+    because consumers gather rows by a single computed index inside the
+    map/BA scans, and any reshape there re-materializes the ~0.5 GB
+    mirror per scan iteration (xprof-measured 188 ms/step); the refresher
+    writes tile blocks in place with dynamic_update_slice instead.
     Out-of-grid +1 corners are ZERO (queries clamp their base to R-2 and
     never read those rows) — the same convention as make_gbq_refresher,
     so full pack and refresh agree bitwise everywhere."""
@@ -599,18 +603,23 @@ def oct_pack_gbq_tm(gbv: jnp.ndarray, tile: int) -> jnp.ndarray:
                 parts.append(g[dx:dx + R, dy:dy + R, dz:dz + R])
     rows = jnp.concatenate(parts, -1)  # [R, R, R, 32]
     to_tm, _ = tile_major_view(R, t)
-    return to_tm(rows)
+    flat = to_tm(rows).reshape(R * R * R, 32)
+    return jnp.concatenate(
+        [flat, jnp.zeros((t ** 3, 32), flat.dtype)], axis=0)
 
 
-def gbq_tm_index(R: int, tile: int, x, y, z):
-    """(tid, local) index of cell (x, y, z) in the tile-major gbq mirror
-    [NT, t^3, 32]. Pure integer arithmetic — the consumer's gather is
-    still one 32-wide row per point."""
+def gbq_row_index(R: int, tile: int | None, x, y, z):
+    """Flat row index of cell (x, y, z) in the gbq mirror: tile-major row
+    order when the grid has a tiled integrate layout (pick_global_tile(R)
+    set), plain z-major dense otherwise. Pure integer arithmetic — the
+    consumer's gather is one 32-wide row per point either way."""
+    if tile is None:
+        return x * (R * R) + y * R + z
     t = int(tile)
     T = R // t
     tid = ((x // t) * T + (y // t)) * T + (z // t)
     local = ((x % t) * t + (y % t)) * t + (z % t)
-    return tid, local
+    return tid * (t ** 3) + local
 
 
 def make_gbq_refresher(R: int, tile: int, budget: int):
@@ -628,8 +637,12 @@ def make_gbq_refresher(R: int, tile: int, budget: int):
     those rows are junk a query can never touch (trilinear bases clamp
     to R-2).
 
-    Returns refresh(gbq [NT, t^3, 32] bf16 donated — updated IN PLACE via
-    row scatter, gbv_tm [NT, t^3, 4], offsets [budget, 3]) -> gbq'."""
+    Returns refresh(gbq [R^3 + t^3, 32] bf16 donated — tile-major row
+    order + a t^3 scratch tail, updated IN PLACE by a
+    dynamic_update_slice loop (measured 4-5 ms at R=200; a row scatter
+    through any reshape copies the whole mirror), gbv_tm [NT, t^3, 4],
+    offsets [budget, 3] (-1 padded slots land in the scratch tail))
+    -> gbq'."""
     t = int(tile)
     T = R // t
     NT = T ** 3
@@ -641,11 +654,11 @@ def make_gbq_refresher(R: int, tile: int, budget: int):
         tid = (o[:, 0] * T + o[:, 1]) * T + o[:, 2]
         B = offsets.shape[0]
         ids = jnp.where(valid, tid, NT + jnp.arange(B, dtype=tid.dtype))
-        return o, ids
+        return o, ids, valid
 
     @partial(jax.jit, donate_argnums=(0,))
     def refresh(gbq, gbv_tm, offsets):
-        o, ids = tile_ids(offsets)
+        o, ids, valid = tile_ids(offsets)
         B = offsets.shape[0]
 
         def nbr(sx, sy, sz):
@@ -679,7 +692,14 @@ def make_gbq_refresher(R: int, tile: int, budget: int):
                 for dz in (0, 1):
                     parts.append(E[:, dx:dx + t, dy:dy + t, dz:dz + t])
         rows = jnp.concatenate(parts, -1).reshape(B, t3, 32)
-        return gbq.at[ids].set(rows, mode="drop", unique_indices=True)
+        # in-place block writes: valid tiles at tid*t^3, padded slots into
+        # the scratch tail (row NT*t^3) — never clamped into live rows
+        starts = jnp.where(valid, ids * t3, NT * t3).astype(jnp.int32)
+
+        def body(i, g):
+            return jax.lax.dynamic_update_slice(g, rows[i], (starts[i], 0))
+
+        return jax.lax.fori_loop(0, B, body, gbq)
 
     return refresh
 

@@ -101,7 +101,14 @@ class RemixFusionTPU:
         ro_mode = config["RO"].get("eval_mode", "gather")
         dt_default = "float32" if ro_mode == "gather" else "bfloat16"
         track_dt = config["volume"].get("track_dtype", dt_default)
-        use_qpack_bm = (self.mv.brick
+        # volume.qpack_bm: EXPERIMENTAL opt-in (default off). Bitwise-equal
+        # to the dense path (tests), but on this v5e the one-hot matmul's
+        # 10-lane contraction forces an LHS retile (+12 ms reshape +10 ms
+        # copy, xprof) that loses to bm_to_dense + stack-rolls (~8.5 ms,
+        # already near the mirror's 216 MB write floor). Kept for
+        # hardware where narrow-K matmuls or relayouts price differently.
+        use_qpack_bm = (bool(config["volume"].get("qpack_bm", 0))
+                        and self.mv.brick
                         and ro_mode in ("brick", "pallas")
                         and int(config["RO"].get("brick_radius", 2)) == 2
                         and track_dt == "bfloat16"
@@ -388,7 +395,7 @@ class RemixFusionTPU:
                     self.mapper._integrate_fns[rkey] = \
                         tsdf_ops.make_gbq_refresher(R, tile, budget2)
                 out = self.mapper._integrate_fns[rkey](
-                    jnp.zeros((n_total, t3, 32), jnp.bfloat16),
+                    jnp.zeros((R ** 3 + t3, 32), jnp.bfloat16),
                     jnp.zeros((n_total, t3, 4), jnp.float32),
                     jnp.full((budget2, 3), -1, jnp.int32))
                 jax.block_until_ready(out)

@@ -307,14 +307,20 @@ class ROTracker:
         bitwise. Rows whose z-run crosses the volume's +z face read 0
         (window bases clamp side voxels from every face, never read)."""
         b, BY, BZ = self.qpack_bm
-        X, Y, Z = self.vol_dims
-        nbxy = (X // b) * BY
-        A = tsdf_bm.reshape(nbxy, BZ, b * b, b).astype(jnp.bfloat16)
-        An = jnp.concatenate([A[:, 1:], jnp.zeros_like(A[:, :1])], axis=1)
-        Q = (jnp.einsum('abcl,lm->abcm', A, self._qpack_m_own,
-                        preferred_element_type=jnp.float32)
-             + jnp.einsum('abcl,lm->abcm', An, self._qpack_m_next,
-                          preferred_element_type=jnp.float32))
+        bb = b * b
+        # one flat [NB*b^2, b] matmul view — a 4-D einsum here lowers to a
+        # 12 ms transpose + 10 ms copy (xprof-measured); flat stays pure
+        # MXU. Row r = (bid, lxy); the z-next brick's same column is
+        # exactly b^2 rows below (bid+1 within a brick column), and the
+        # junk rows a column-end roll-in produces (z-run past the +z face)
+        # are never read (window bases clamp `side` voxels from the face).
+        A2 = tsdf_bm.reshape(-1, b).astype(jnp.bfloat16)   # [NB*b^2, b]
+        A2n = jnp.concatenate(
+            [A2[bb:], jnp.zeros((bb, b), jnp.bfloat16)], axis=0)
+        Q = (jnp.dot(A2, self._qpack_m_own,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(A2n, self._qpack_m_next,
+                       preferred_element_type=jnp.float32))
         return Q.astype(jnp.bfloat16).reshape(-1, 4)
 
     def _fetch_windows(self, vol, base, side: int):
