@@ -94,20 +94,27 @@ class RemixFusionTPU:
         self.mv = MovingVolume(config, init_pose)
         # Window-mirror source for the tracker: with a brick-major local
         # volume and window-based eval (brick/pallas, side 4), the
-        # quad-pack mirror is built straight from brick-major by the MXU
-        # interleave (rotracker._quad_pack_bm) — no per-frame dense view.
-        # Other modes read a DENSE [X, Y, Z] view (one in-program
-        # transpose per frame); 'gather' mode keeps exact f32 semantics.
+        # quad-pack mirror is built straight from brick-major — no
+        # per-frame dense view (see qpack_impl below). Other modes read a
+        # DENSE [X, Y, Z] view (one in-program transpose per frame);
+        # 'gather' mode keeps exact f32 semantics.
         ro_mode = config["RO"].get("eval_mode", "gather")
         dt_default = "float32" if ro_mode == "gather" else "bfloat16"
         track_dt = config["volume"].get("track_dtype", dt_default)
-        # volume.qpack_bm: EXPERIMENTAL opt-in (default off). Bitwise-equal
-        # to the dense path (tests), but on this v5e the one-hot matmul's
-        # 10-lane contraction forces an LHS retile (+12 ms reshape +10 ms
-        # copy, xprof) that loses to bm_to_dense + stack-rolls (~8.5 ms,
-        # already near the mirror's 216 MB write floor). Kept for
-        # hardware where narrow-K matmuls or relayouts price differently.
-        use_qpack_bm = (bool(config["volume"].get("qpack_bm", 0))
+        # volume.qpack_impl picks how the tracker's quad-pack window
+        # mirror is built when the volume is brick-major:
+        #   'roll' (DEFAULT): constant-shift slices + lane-friendly select
+        #     straight from brick-major — one elementwise fusion, no dense
+        #     transpose (track jit ~18.7 -> ~13 ms on the headline bench).
+        #   'mxu': one-hot matmul interleave (bitwise-equal; loses on this
+        #     v5e to an LHS retile — PLAN.md known-walls — kept for chips
+        #     where narrow-K matmuls price differently). The legacy
+        #     volume.qpack_bm=1 flag still selects it.
+        #   'dense': the round-2 bm_to_dense + stack-rolls path.
+        qpack_impl = str(config["volume"].get("qpack_impl", "roll"))
+        if bool(config["volume"].get("qpack_bm", 0)):
+            qpack_impl = "mxu"
+        use_qpack_bm = (qpack_impl in ("roll", "mxu")
                         and self.mv.brick
                         and ro_mode in ("brick", "pallas")
                         and int(config["RO"].get("brick_radius", 2)) == 2
@@ -119,7 +126,7 @@ class RemixFusionTPU:
         self.tracker = ROTracker(
             config, self.dataset.H, self.dataset.W, self.dataset.K(),
             self.mv.dims, self.mv.voxel_size, brick_layout=None,
-            qpack_bm=qpack_bm)
+            qpack_bm=qpack_bm, qpack_impl=qpack_impl)
         self.K_dev = jnp.asarray(self.dataset.K())
         # static per-pixel camera-frame ray direction grid [H*W, 3]
         self.dirs_dev = jnp.asarray(

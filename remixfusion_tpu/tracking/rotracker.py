@@ -58,7 +58,7 @@ class TrackResult(NamedTuple):
 class ROTracker:
     def __init__(self, cfg, H: int, W: int, K: np.ndarray,
                  vol_dims, voxel_size: float, brick_layout=None,
-                 mesh=None, qpack_bm=None):
+                 mesh=None, qpack_bm=None, qpack_impl="roll"):
         self.cfg = cfg
         # Candidate-sharded multi-chip tracking: with a jax.sharding.Mesh,
         # every tier evaluation's per-candidate sums are constrained to
@@ -78,15 +78,26 @@ class ROTracker:
         # read are identical either way.
         self.brick_layout = tuple(brick_layout) if brick_layout else None
         # qpack_bm = (b, BY, BZ): the track volume arrives BRICK-MAJOR and
-        # the quad-pack window mirror is built straight from it by two
-        # one-hot matmuls (_quad_pack_bm) — no dense intermediate, no
-        # transpose; window rows are addressed with bm_vox_flat. Identical
-        # window values to the dense-view + _quad_pack path (parity test),
-        # ~2.5x cheaper (the MXU does the 4-wide interleave).
+        # the quad-pack window mirror is built straight from it — no dense
+        # intermediate, no transpose; window rows are addressed with
+        # bm_vox_flat. Identical window values to the dense-view +
+        # _quad_pack path (parity test). qpack_impl picks the interleave:
+        #   'roll' (default): the z-successor of brick-major voxel i sits
+        #     at a CONSTANT offset (i+1 in-brick, i + b^3 - b + 1 across
+        #     the brick face), so the 4-wide rows are three shifted slices
+        #     + one lane-friendly select — a single elementwise fusion
+        #     (~1-2 ms vs the dense route's transpose + roll ~7 ms, xprof).
+        #   'mxu': two one-hot matmuls over the brick z-axis (kept for
+        #     chips where the narrow-K matmul prices differently; on this
+        #     v5e its LHS retile loses, see PLAN.md known-walls).
         self.qpack_bm = tuple(qpack_bm) if qpack_bm else None
+        self.qpack_impl = qpack_impl
         if self.qpack_bm is not None:
             b = self.qpack_bm[0]
+            # a 4-voxel z-run must cross at most ONE brick face
             assert b >= 4, "qpack_bm needs brick >= window z-run (4)"
+        if self.qpack_bm is not None and qpack_impl == "mxu":
+            b = self.qpack_bm[0]
             m_own = np.zeros((b, 4 * b), np.float32)
             m_next = np.zeros((b, 4 * b), np.float32)
             for lz in range(b):
@@ -322,6 +333,38 @@ class ROTracker:
              + jnp.dot(A2n, self._qpack_m_next,
                        preferred_element_type=jnp.float32))
         return Q.astype(jnp.bfloat16).reshape(-1, 4)
+
+    def _quad_pack_bm_roll(self, tsdf_bm):
+        """Quad-pack mirror from brick-major via CONSTANT-shift slices.
+
+        In brick-major order (voxel i = bid*b^3 + (lx*b + ly)*b + lz) the
+        z-successor of voxel i sits at i+1 while lz+1 < b, and at
+        i + b^3 - b + 1 once the run crosses into the +z neighbour brick
+        (brick order (bx*BY + by)*BZ + bz, so bz+1 = bid+1). Both are
+        constant offsets, so column k of the [N, 4] mirror is a select
+        between two shifted views of the flat volume on the mask
+        lz < b - k — one elementwise output fusion, no transpose, no
+        matmul, no gather. Rows whose run would cross TWO faces, or whose
+        +z neighbour wraps to the next (x, y) brick column / past the
+        array end, are junk — window bases clamp `side` voxels from every
+        volume face and never read them (same contract as _quad_pack's
+        cyclic roll wrap and _quad_pack_bm's roll-in rows). In-range read
+        rows are bitwise-equal to the dense _quad_pack path (parity
+        test)."""
+        b, BY, BZ = self.qpack_bm
+        b3 = b ** 3
+        flat = tsdf_bm.reshape(-1).astype(jnp.bfloat16)
+        n = flat.shape[0]
+        lz = jax.lax.rem(jax.lax.iota(jnp.int32, n), b)
+        cols = [flat]
+        for k in (1, 2, 3):
+            near = jnp.concatenate(
+                [flat[k:], jnp.zeros((k,), flat.dtype)])
+            fsh = b3 - b + k
+            far = jnp.concatenate(
+                [flat[fsh:], jnp.zeros((fsh,), flat.dtype)])
+            cols.append(jnp.where(lz < b - k, near, far))
+        return jnp.stack(cols, axis=-1)
 
     def _fetch_windows(self, vol, base, side: int):
         """Per-pixel TSDF windows [P, side^3] around base [P, 3], cell
@@ -682,10 +725,13 @@ class ROTracker:
         def track(tsdf_flat, origin, c2w_init, depth, key, ss_init):
             if (self.qpack_bm is not None and self.brick_r == 2
                     and self.eval_mode in ("brick", "pallas")):
-                # brick-major source: mirror via the MXU interleave; the
-                # raw volume itself is never read (windows come from the
-                # mirror), so XLA dead-code-eliminates any dense view
-                vol = (tsdf_flat, self._quad_pack_bm(tsdf_flat))
+                # brick-major source: mirror built in-place (roll-select
+                # or MXU interleave); the raw volume itself is never read
+                # (windows come from the mirror), so XLA dead-code-
+                # eliminates any dense view
+                mk = (self._quad_pack_bm_roll if self.qpack_impl == "roll"
+                      else self._quad_pack_bm)
+                vol = (tsdf_flat, mk(tsdf_flat))
             elif (self.brick_layout is None and self.brick_r == 2
                     and self.eval_mode in ("brick", "pallas")):
                 vol = (tsdf_flat, self._quad_pack(tsdf_flat))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from helpers import tiny_config
 from remixfusion_tpu.datasets import get_dataset
@@ -276,11 +277,13 @@ def test_subset_vertex_normal_matches_full_image():
             assert np.array_equal(np.asarray(ok_f), np.asarray(ok_s))
 
 
-def test_quad_pack_bm_track_matches_dense_mirror_path():
-    """The brick-major quad-pack (rotracker._quad_pack_bm: MXU one-hot
-    interleave straight from the fusion layout, no dense intermediate)
-    must produce bitwise-identical tracking to the dense-view + _quad_pack
-    path: same bf16 window values, same candidate scores, same pose."""
+@pytest.mark.parametrize("impl", ["roll", "mxu"])
+def test_quad_pack_bm_track_matches_dense_mirror_path(impl):
+    """The brick-major quad-pack mirrors ('roll': constant-shift slices +
+    select, the shipped default; 'mxu': one-hot interleave — both straight
+    from the fusion layout, no dense intermediate) must produce
+    bitwise-identical tracking to the dense-view + _quad_pack path: same
+    bf16 window values, same candidate scores, same pose."""
     from remixfusion_tpu.ops.tsdf import bm_to_dense
 
     cfg = tiny_config(RO={"particle_iter_lens": 8, "init_size": 0.04,
@@ -294,8 +297,9 @@ def test_quad_pack_bm_track_matches_dense_mirror_path():
     tr_dense = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
                          brick_layout=None)
     tr_bm = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
-                      brick_layout=None, qpack_bm=mv.brick_layout())
-    assert tr_bm.qpack_bm is not None
+                      brick_layout=None, qpack_bm=mv.brick_layout(),
+                      qpack_impl=impl)
+    assert tr_bm.qpack_bm is not None and tr_bm.qpack_impl == impl
 
     f = ds[4]
     init = jnp.asarray(np.asarray(ds[3]["c2w"], np.float32))
@@ -313,3 +317,36 @@ def test_quad_pack_bm_track_matches_dense_mirror_path():
                                   np.asarray(res_b.c2w))
     np.testing.assert_array_equal(np.asarray(res_d.origin_value),
                                   np.asarray(res_b.origin_value))
+
+
+def test_quad_pack_bm_roll_mirror_rows_bitwise():
+    """Every in-range window row of the roll-select mirror must equal the
+    dense _quad_pack rows exactly (read-row contract; junk rows — z-runs
+    crossing two faces or wrapping past the +z brick column — are clamped
+    away by window bases and excluded here)."""
+    from remixfusion_tpu.ops.tsdf import bm_to_dense, bm_vox_flat
+
+    cfg = tiny_config(RO={"eval_mode": "brick"},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=2)
+    b = mv.brick
+    layout = mv.brick_layout()
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                   brick_layout=None, qpack_bm=layout, qpack_impl="roll")
+
+    tsdf_bm = mv.state.tsdf
+    mirror = np.asarray(tr._quad_pack_bm_roll(tsdf_bm).astype(jnp.float32))
+    dense = np.asarray(bm_to_dense(
+        tsdf_bm.astype(jnp.bfloat16).reshape(-1, b ** 3),
+        mv.dims, b).astype(jnp.float32)).reshape(mv.dims)
+
+    X, Y, Z = mv.dims
+    xs, ys, zs = np.meshgrid(np.arange(1, X - 5), np.arange(1, Y - 5),
+                             np.arange(1, Z - 5), indexing="ij")
+    xs, ys, zs = xs.ravel(), ys.ravel(), zs.ravel()
+    rows = np.asarray(bm_vox_flat(layout, jnp.asarray(xs), jnp.asarray(ys),
+                                  jnp.asarray(zs)))
+    got = mirror[rows]                                   # [M, 4]
+    want = np.stack([dense[xs, ys, zs + k] for k in range(4)], -1)
+    np.testing.assert_array_equal(got, want)
