@@ -149,7 +149,7 @@ class Mapper:
         return run
 
     def select_integrate_tiles(self, host_depth, host_c2w, K_np, bound,
-                               im_h: int, im_w: int):
+                               im_h: int, im_w: int, kf_index=None):
         """Host-side frustum/depth tile selection for integrate_keyframe.
         Pure numpy over host arrays — safe on a worker thread (the online
         pipeline overlaps it with the device wait; see
@@ -157,7 +157,17 @@ class Mapper:
         np.int32 padded with -1, budget, offs2 [budget2, 3], budget2) —
         offs2/budget2 the -1-dilated set for the chained gbq-mirror
         refresh (tsdf.dilate_tiles) — or (None,) * 4 for the dense
-        sweep."""
+        sweep.
+
+        With `kf_index` and mapping.gfs_every > 1, pure-free-space tiles
+        (every voxel provably beyond the truncation band in front of the
+        surface — their update is exactly dist=1/w+=1) rotate round-robin
+        over gfs_every keyframes (phase = kf_index % gfs_every), the
+        global-grid analog of the local fuser's fs_every brick rotation:
+        ~2x less image-gather traffic per keyframe at an `every`-keyframe
+        lag on free-space carving (near-band tiles integrate every
+        keyframe, so surfaces are unaffected). kf_index=None keeps the
+        full (reference-exact) sweep — offline update_GBV uses that."""
         R = self.scene.gbv_resolution
         tile = tsdf_ops.pick_global_tile(R)
         if host_depth is None or tile is None:
@@ -171,11 +181,15 @@ class Mapper:
             + max(((0 - K_np[1, 2]) / K_np[1, 1]) ** 2,
                   ((im_h - K_np[1, 2]) / K_np[1, 1]) ** 2)))
         trunc = self.config["training"]["c_trunc"]
+        gfs_every = int(self.config["mapping"].get("gfs_every", 1))
+        rot = ((int(kf_index) % gfs_every, gfs_every)
+               if kf_index is not None and gfs_every > 1 else None)
         offs = tsdf_ops.frustum_tiles(
             (R, R, R), tile, bound_np[:, 0], vs, K_np,
             np.asarray(host_c2w), im_h, im_w,
             max_depth=lam_max * (dmax + trunc), pad_px=2.0,
-            depth_map=host_depth, lam_max=lam_max, trunc=trunc)
+            depth_map=host_depth, lam_max=lam_max, trunc=trunc,
+            free_rotate=rot)
         n_total = (R // tile) ** 3
         # smallest sixteenth-of-grid bucket that fits (bounded variant set;
         # see tsdf.global_budget_buckets)
@@ -195,7 +209,8 @@ class Mapper:
     def integrate_keyframe(self, buffers: SceneBuffers, depth, rgb, K, c2w,
                            bound, obs_weight: float = 1.0,
                            host_depth=None, host_c2w=None,
-                           precomputed_tiles=None) -> SceneBuffers:
+                           precomputed_tiles=None,
+                           kf_index=None) -> SceneBuffers:
         """Fuse a keyframe into the explicit global grid
         (reference mapper.py:823-872). `bound`: [3, 2] world bounds; grid
         voxel i maps to bound_min + i/R * extent. One jitted program —
@@ -206,7 +221,9 @@ class Mapper:
         frustum-tiled: tiles are selected on the host with a conservative
         corner test bounded by lam_max * (dmax + trunc), which provably
         covers every voxel the dense sweep would update — 3-5x less
-        image-gather traffic, bit-identical result. `precomputed_tiles`
+        image-gather traffic, bit-identical result (exactly so when
+        mapping.gfs_every <= 1 or kf_index is None; with free-space
+        rotation, see select_integrate_tiles). `precomputed_tiles`
         (an (offs, budget) pair from select_integrate_tiles, e.g. computed
         look-ahead on a worker thread) skips the in-line selection;
         host_c2w avoids np.asarray on a device pose (a blocking readback
@@ -220,7 +237,7 @@ class Mapper:
             offs, budget, offs2, budget2 = self.select_integrate_tiles(
                 host_depth,
                 host_c2w if host_c2w is not None else np.asarray(c2w),
-                np.asarray(K), bound, im_h, im_w)
+                np.asarray(K), bound, im_h, im_w, kf_index=kf_index)
         else:
             offs = None
 

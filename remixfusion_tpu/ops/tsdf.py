@@ -829,7 +829,8 @@ def _tiled_integrator_helpers(R, t, im_h, im_w, trunc_margin):
 
 def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
                   max_depth=None, pad_px: float = 0.0,
-                  depth_map=None, lam_max=None, trunc=None):
+                  depth_map=None, lam_max=None, trunc=None,
+                  free_rotate=None):
     """Host-side: voxel offsets [N, 3] of the tiles whose AABB intersects the
     view frustum (conservative corner test). `pad_px` widens the image
     bounds so a slightly-wrong pose (e.g. the predicted pose standing in for
@@ -842,6 +843,18 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
     voxel by lam * (depth_at_its_pixel + trunc) and the block-max depth
     over a superset of the tile's pixels is >= that pixel depth. Tiles
     behind walls no longer ride on the whole image's deepest pixel.
+
+    `free_rotate=(phase, every)` (requires depth_map): tiles that are PURE
+    FREE SPACE — every voxel provably has sdf = depth - z > trunc, so its
+    update is exactly (dist=1, w+=obs) — are kept only when
+    flat_tile_id % every == phase, amortizing the free-space carve over
+    `every` keyframes (the same rotation the local brick fuser applies,
+    BrickSelector fs_every). The classification is conservative: a tile
+    is 'free' only when the MIN valid depth over its padded image-AABB
+    exceeds its farthest front-corner camera z by > trunc + 2 voxels;
+    straddling or partially-behind tiles always count as near-band.
+    Near-band tiles (any voxel possibly within the truncation band) are
+    kept in EVERY phase, so surface integration is unaffected.
 
     At fine tiles (e.g. 8000 at R=200/t=10) a supertile prefilter runs the
     same conservative corner test on s^3-tile blocks first and expands only
@@ -895,7 +908,8 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
         z_near = np.where(all_front, np.where(front, z, np.inf).min(1), 0.0)
         if max_depth is not None:
             keep = keep & (z_near <= max_depth)
-        return keep, z_near, u, v, front, all_front
+        z_far = np.where(front, z, -np.inf).max(1)
+        return keep, z_near, u, v, front, all_front, z_far
 
     n_tiles = nx * ny * nz
     s = 4 if n_tiles >= 4096 else 1
@@ -917,7 +931,7 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
                                  np.arange(nz), indexing="ij")
         base = np.stack([gx, gy, gz], -1).reshape(-1, 3) * t  # [N, 3]
 
-    keep, z_near, u, v, front, all_front = corner_test(base, t)
+    keep, z_near, u, v, front, all_front, z_far_c = corner_test(base, t)
     if depth_map is not None and keep.any():
         # block-max depth pyramid (32 px blocks, zeros = invalid ignored)
         blk = 32
@@ -959,6 +973,23 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
         # tiles whose AABB saw only invalid depth (max 0) update nothing
         dead = reg_max <= 0
         keep[ki[far | dead]] = False
+        if free_rotate is not None:
+            phase, every = int(free_rotate[0]), int(free_rotate[1])
+            if every > 1:
+                dmin_blk = np.where(d > 0, d, np.inf).reshape(
+                    d.shape[0] // blk, blk,
+                    d.shape[1] // blk, blk).min((1, 3))
+                reg_min = np.where(member, dmin_blk.reshape(-1)[None, :],
+                                   np.inf).min(1)
+                # farthest camera z of any voxel in the box = max corner z
+                # (z is linear over the box); only all-front boxes qualify
+                z_far = z_far_c[ki]
+                margin = trunc + 2.0 * float(np.max(vs32))
+                free = all_front[ki] & np.isfinite(reg_min) \
+                    & (reg_min - z_far > margin)
+                tid = ((base[ki, 0] // t).astype(np.int64) * ny
+                       + base[ki, 1] // t) * nz + base[ki, 2] // t
+                keep[ki[free & ((tid % every) != phase)]] = False
     return base[keep].astype(np.int32)
 
 
@@ -1225,8 +1256,20 @@ class BrickSelector:
     """
 
     def __init__(self, dims, b, voxel_size, K, im_h, im_w,
-                 splat_stride: int = 4, pad_px: float = 16.0):
+                 splat_stride: int = 4, pad_px: float = 16.0,
+                 fs_scope: str = "frustum"):
         import numpy as np
+        # fs_scope='seen': free-space carving restricted to bricks that
+        # were EVER in a near-surface band (`self.seen`, a persistent
+        # host-side bool[NB] ORed with each frame's near mask, shifted
+        # with the volume on re-center and reseeded from volume content on
+        # checkpoint load). Carving's functional role is erasing STALE
+        # surface — a brick that never held surface is already at its
+        # carved state (tsdf=1 from init), so skipping it changes only its
+        # (unused) free-space weight. Cuts the fuse bucket roughly in half
+        # on typical scenes. 'frustum' keeps the reference-shaped carve of
+        # every in-frustum brick (Volume.py:280-300 semantics).
+        self.fs_scope = fs_scope
         self.dims = dims
         self.b = int(b)
         self.voxel_size = float(voxel_size)
@@ -1277,6 +1320,40 @@ class BrickSelector:
                                       (self.BX, self.BY, self.BZ))
         self.brick_sbid = ((bx // sb * NSY + by // sb) * NSZ
                            + bz // sb).astype(np.int32)
+        # fs_scope='seen' state: bricks that ever held a near-surface band
+        self.seen = np.zeros(self.NB, bool)
+
+    def mark_seen(self, near_flat):
+        self.seen[near_flat] = True
+
+    def shift_seen(self, shift_vox):
+        """Re-anchor the seen mask after a volume re-center: new brick i
+        maps to old voxel position i*b + shift. Non-brick-aligned shifts
+        mark every overlapped old brick (conservative OR over the up-to-8
+        floor/ceil neighbours)."""
+        import numpy as np
+        old = self.seen.reshape(self.BX, self.BY, self.BZ)
+        new = np.zeros_like(old)
+        sh = np.asarray(shift_vox, np.float64) / self.b
+        for fx_ in (np.floor, np.ceil):
+            for fy_ in (np.floor, np.ceil):
+                for fz_ in (np.floor, np.ceil):
+                    ox = int(fx_(sh[0]))
+                    oy = int(fy_(sh[1]))
+                    oz = int(fz_(sh[2]))
+                    src = old[max(ox, 0):self.BX + min(ox, 0),
+                              max(oy, 0):self.BY + min(oy, 0),
+                              max(oz, 0):self.BZ + min(oz, 0)]
+                    new[max(-ox, 0):self.BX - max(ox, 0),
+                        max(-oy, 0):self.BY - max(oy, 0),
+                        max(-oz, 0):self.BZ - max(oz, 0)] |= src
+        self.seen = new.reshape(-1)
+
+    def reseed_seen(self, tsdf_bm_min):
+        """Rebuild the seen mask from volume content (checkpoint load):
+        any brick whose min tsdf < 1 holds or held surface."""
+        import numpy as np
+        self.seen = np.asarray(tsdf_bm_min) < 1.0 - 1e-6
 
     def near_mask(self, origin, c2w, depth, trunc_margin):
         """Boolean [NB] mask of near-surface bricks + max depth."""
@@ -1429,7 +1506,11 @@ class BrickSelector:
         near, dmax = self.near_mask(origin, c2w, depth, trunc_margin)
         fr = self.frustum_mask(origin, c2w, dmax, trunc_margin)
         near_flat = np.flatnonzero(near)
-        fs_flat = np.flatnonzero(fr & ~near)
+        if self.fs_scope == "seen":
+            fs_flat = np.flatnonzero(fr & ~near & self.seen)
+            self.mark_seen(near_flat)
+        else:
+            fs_flat = np.flatnonzero(fr & ~near)
         if fs_every > 1 and fs_span < fs_every:
             fs_flat = fs_flat[(fs_flat - fs_phase) % fs_every < fs_span]
         n_near = len(near_flat)

@@ -846,7 +846,7 @@ class RemixFusionTPU:
                         self.mapper.select_integrate_tiles,
                         np.asarray(kf_batch["depth"]), pose_kf,
                         np.asarray(self.dataset.K()), self.bound,
-                        im_h, im_w)
+                        im_h, im_w, cur // kf_every)
                     self._integrate_la = (cur, pose_kf, fut)
         if _st: _st.stop("t_la_integ"); _st.start("t_prefetch")
         # Upload the NEXT frame after this dispatch: the transfer rides
@@ -983,7 +983,9 @@ class RemixFusionTPU:
                 self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound,
                 host_depth=batch["depth"],
                 host_c2w=self.est_c2w_data[cur_frame_id],
-                precomputed_tiles=pre)
+                precomputed_tiles=pre,
+                kf_index=cur_frame_id
+                // self.config["mapping"]["keyframe_every"])
             if _st: _st.stop("m_i_fuse")
 
         if _st: _st.stop("m_integrate"); _st.start("m_map")

@@ -104,6 +104,10 @@ class MovingVolume:
                 ((nb + 255) // 256) * 256,
                 max(256, int(math.ceil(nb * frac / 256.0)) * 256))
             self.fs_every = int(v.get("freespace_every", 4))
+            # free-space carve scope: 'frustum' (reference-shaped: every
+            # in-frustum brick, rotated) or 'seen' (only bricks that ever
+            # held a near-surface band — see BrickSelector.fs_scope)
+            self.fs_scope = str(v.get("fs_scope", "frustum"))
             # compile one fuser per budget bucket; per frame we pick the
             # smallest bucket that fits the actual selection. Powers of two
             # up to 2048, then 1024 steps: padded rows pay full per-voxel
@@ -112,12 +116,12 @@ class MovingVolume:
             # of the ~25 ms fuse at bucket 4096)
             self.brick_buckets = []
             bb = 256
-            while bb < min(self.brick_budget, 2048):
+            while bb < min(self.brick_budget, 1024):
                 self.brick_buckets.append(bb)
                 bb *= 2
             while bb < self.brick_budget:
                 self.brick_buckets.append(bb)
-                bb += 1024
+                bb += 512
             self.brick_buckets.append(self.brick_budget)
         self._brick_fns: Dict = {}
         self._fs_phase = 0
@@ -249,6 +253,9 @@ class MovingVolume:
     def _shift_to(self, new_bnds: np.ndarray):
         new_bnds = np.asarray(new_bnds, np.float64)
         new_bnds[:, 1] = new_bnds[:, 0] + np.asarray(self.dims) * self.voxel_size
+        if self.brick and hasattr(self, "_brick_sel"):
+            self._brick_sel.shift_seen(np.round(
+                (new_bnds[:, 0] - self.vol_bnds[:, 0]) / self.voxel_size))
         if self.brick:
             off_vox = np.round(
                 (new_bnds[:, 0] - self.vol_bnds[:, 0]) / self.voxel_size)
@@ -322,11 +329,23 @@ class MovingVolume:
 
     def _ensure_brick_sel(self, hw, K):
         if not hasattr(self, "_brick_sel") or self._brick_sel_hw != hw:
+            old = getattr(self, "_brick_sel", None)
             self._brick_sel = tsdf_ops.BrickSelector(
                 self.dims, self.brick, self.voxel_size, np.asarray(K),
-                hw[0], hw[1])
+                hw[0], hw[1], fs_scope=self.fs_scope)
+            if old is not None:  # carry the carve history across a
+                self._brick_sel.seen = old.seen  # resolution change
             self._brick_sel_hw = hw
         return self._brick_sel
+
+    def reseed_seen_from_state(self):
+        """Rebuild the fs_scope='seen' carve history from volume content
+        (checkpoint load / external state writes)."""
+        if self.brick and hasattr(self, "_brick_sel") \
+                and self._brick_sel.fs_scope == "seen":
+            tmin = jnp.min(self.state.tsdf.reshape(-1, self.brick ** 3),
+                           axis=1)
+            self._brick_sel.reseed_seen(np.asarray(tmin))
 
     def frame_bricks_pure(self, origin, c2w_np, depth_np, K, fs_phase,
                           fs_span: int = 1):
@@ -366,6 +385,15 @@ class MovingVolume:
         im_h, im_w = int(depth.shape[0]), int(depth.shape[1])
 
         if self.brick and full_sweep:
+            if self.fs_scope == "seen":
+                # record the seed frame's near band in the carve history —
+                # its surface must stay erasable by later fs selections
+                sel = self._ensure_brick_sel(
+                    (im_h, im_w), np.asarray(K))
+                near, _ = sel.near_mask(self.vol_bnds[:, 0],
+                                        np.asarray(c2w), np.asarray(depth),
+                                        self.trunc_margin)
+                sel.mark_seen(np.flatnonzero(near))
             # one-time seeds: dense round-trip + slab-scan full sweep
             dense = self.dense_state()
             key = ("seed", im_h, im_w, bool(rgb_is_unit))

@@ -438,3 +438,123 @@ def test_wire_format_roundtrip_exact():
     np.testing.assert_allclose(np.asarray(rgb_dev),
                                r8.astype(np.float32) / 255.0,
                                rtol=0, atol=1e-6)
+
+
+def test_free_space_tile_rotation_invariants():
+    """frustum_tiles(free_rotate=(phase, every)) must (a) keep every tile
+    containing a NEAR-BAND update (fused tsdf < 1: inside the truncation
+    band, where skipping would change the surface) in EVERY phase, (b)
+    cover the full unrotated selection with the union over `every`
+    consecutive phases, and (c) actually drop tiles per phase on a typical
+    scene (otherwise the rotation buys nothing)."""
+    import jax.numpy as jnp
+
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    rng = np.random.default_rng(11)
+    H, W = 24, 32
+    K = np.array([[30.0, 0, W / 2], [0, 30.0, H / 2], [0, 0, 1.0]],
+                 np.float32)
+    R, tile = 48, 6
+    bound = np.array([[0.0, 3.0], [0.0, 3.0], [0.0, 3.0]], np.float32)
+    trunc = 0.25
+    vs = (bound[:, 1] - bound[:, 0]).astype(np.float64) / R
+    lam_max = float(np.sqrt(
+        1.0 + max((K[0, 2] / K[0, 0]) ** 2, ((W - K[0, 2]) / K[0, 0]) ** 2)
+        + max((K[1, 2] / K[1, 1]) ** 2, ((H - K[1, 2]) / K[1, 1]) ** 2)))
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [1.5, 1.5, 0.1]
+    depth = rng.uniform(2.3, 2.8, (H, W)).astype(np.float32)
+    depth[rng.random((H, W)) < 0.1] = 0.0
+
+    vol = tsdf_ops.VolumeState(
+        tsdf=jnp.zeros((R, R, R)), weight=jnp.zeros((R, R, R)),
+        color=jnp.zeros((R, R, R, 3)), origin=jnp.asarray(bound[:, 0]))
+    out = tsdf_ops.fuse_frame(
+        vol, jnp.asarray(depth), jnp.asarray(rng.uniform(
+            0, 1, (H, W, 3)).astype(np.float32)), jnp.asarray(K),
+        jnp.asarray(c2w), voxel_size=1.0 / R, trunc_margin=trunc,
+        obs_weight=1.0, im_h=H, im_w=W, global_mode=True,
+        scale=jnp.asarray(bound[:, 1] - bound[:, 0]),
+        voxel_size_is_normalized=True)
+    w_np = np.asarray(out.weight)
+    t_np = np.asarray(out.tsdf)
+    near_vox = np.argwhere((w_np > 0) & (t_np < 1.0 - 1e-6))
+    assert len(near_vox), "fixture must produce near-band updates"
+    near_tiles = {tuple(u // tile) for u in near_vox}
+
+    common = dict(max_depth=lam_max * (float(depth.max()) + trunc),
+                  pad_px=2.0, depth_map=depth, lam_max=lam_max, trunc=trunc)
+    full = tsdf_ops.frustum_tiles(
+        (R, R, R), tile, bound[:, 0].astype(np.float64), vs, K, c2w,
+        H, W, **common)
+    full_set = {tuple(o // tile) for o in full}
+
+    every = 4
+    union = set()
+    for phase in range(every):
+        offs = tsdf_ops.frustum_tiles(
+            (R, R, R), tile, bound[:, 0].astype(np.float64), vs, K, c2w,
+            H, W, free_rotate=(phase, every), **common)
+        sel = {tuple(o // tile) for o in offs}
+        union |= sel
+        missing_near = near_tiles - sel
+        assert not missing_near, (phase, missing_near)
+        assert len(sel) < len(full_set), "phase must drop free tiles"
+    assert union == full_set
+
+
+def test_fs_scope_seen_semantics():
+    """fs_scope='seen': free-space carve bricks come only from the carve
+    history (bricks ever near-surface), the history accumulates across
+    selections, shifts with the volume on re-center, and reseeds from
+    volume content."""
+    from remixfusion_tpu.ops.tsdf import BrickSelector
+
+    H, W = 16, 24
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1.0]],
+                 np.float32)
+    dims, b, vs = (40, 40, 40), 10, 0.05
+    sel = BrickSelector(dims, b, vs, K, H, W, fs_scope="seen")
+    sel_f = BrickSelector(dims, b, vs, K, H, W)  # default frustum scope
+
+    origin = np.zeros(3)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [1.0, 1.0, 0.1]
+    depth = np.full((H, W), 1.2, np.float32)
+
+    budget = 64
+    # every fs phase in one selection so phase rotation can't hide bricks
+    br1, n_near1, n1 = sel.select(origin, c2w, depth, 0.05, budget,
+                                  fs_phase=0, fs_every=1)
+    brf, n_nearf, nf = sel_f.select(origin, c2w, depth, 0.05, budget,
+                                    fs_phase=0, fs_every=1)
+    assert n_near1 == n_nearf
+    # first 'seen' selection has NO carve history: fs set empty
+    assert n1 == n_near1 < nf
+    assert sel.seen.sum() == n_near1
+
+    # second selection from a shifted pose: the first frame's near bricks
+    # that left the near band now appear as fs bricks
+    c2w2 = c2w.copy()
+    c2w2[2, 3] += 0.3
+    br2, n_near2, n2 = sel.select(origin, c2w2, depth, 0.05, budget,
+                                  fs_phase=0, fs_every=1)
+    fs2 = {tuple(r) for r in br2[n_near2:n2]}
+    near1 = {tuple(r) for r in br1[:n_near1]}
+    assert fs2, "history bricks out of the near band must be carved"
+    assert fs2 <= near1 | {tuple(r) for r in br2[:n_near2]}
+
+    # re-center by exactly one brick: history shifts with the volume
+    seen_before = sel.seen.reshape(4, 4, 4).copy()
+    sel.shift_seen(np.array([b, 0, 0], np.float64))
+    seen_after = sel.seen.reshape(4, 4, 4)
+    np.testing.assert_array_equal(seen_after[:3], seen_before[1:])
+    assert not seen_after[3].any()
+
+    # reseed from volume content: bricks with min tsdf < 1 are history
+    tmin = np.ones(sel.NB, np.float32)
+    tmin[[3, 17]] = 0.2
+    sel.reseed_seen(tmin)
+    assert set(np.flatnonzero(sel.seen)) == {3, 17}
