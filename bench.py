@@ -137,7 +137,7 @@ def main():
         frame_stamps.append(time.strftime("%H:%M:%S"))
         # Seed the host cache so the in-loop device prefetch (2 deep) finds
         # the pre-rendered frames instead of re-raytracing them.
-        for ahead in (1, 2):
+        for ahead in range(1, slam._prefetch_depth + 1):
             if idx + ahead < n_frames:
                 slam._cache_frame(idx + ahead, frames[idx + ahead])
         slam.track_frame(idx, frames[idx])

@@ -14,9 +14,18 @@ is the TPU-native scale-out design:
     the (replicated, small) RGB-D frame — embarrassingly parallel, zero
     collectives, exactly the layout the grid already has for mapping-side
     gathers.
-  - Tracking stays replicated (a single frame's particle evaluation already
-    saturates one chip's gather pipeline; candidates could be sharded on
-    "data" as a future lever).
+  - Tracking is candidate-sharded when given a mesh (tracking/rotracker.py
+    ROTracker(mesh=...)): each chip scores a slice of the pose-candidate
+    tiers against the replicated local volume.
+  - **Grid-sharded mapping** (gridsharded_map_train_step) is the
+    HBM-scaling mode: the explicit grid's bf16 gbq query mirror is
+    row-sharded over the mesh, so scenes whose grid exceeds one chip's HBM
+    (cubic in resolution — e.g. TUM at the reference's 1 cm production
+    voxel) run at full quality on a pod slice. Verified lowering (8-way
+    virtual mesh): XLA's SPMD partitioner all-gathers only the per-point
+    ROW INDICES, gathers locally on each chip's shard, and all-reduces the
+    [N, 32] gathered rows (~19 MB/iteration over ICI at production batch
+    size) — the full mirror is never materialized on any chip.
 
 Everything compiles and runs on a virtual CPU mesh
 (xla_force_host_platform_device_count) for testing without TPU pods.
@@ -68,6 +77,76 @@ def sharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
     def step(params, buffers, opt_state, rays, rays_o, rays_d, key):
         loss, grads = jax.value_and_grad(loss_fn)(
             params, buffers, rays, rays_o, rays_d, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def pad_rows_for_mesh(arr: jnp.ndarray, n_dev: int) -> jnp.ndarray:
+    """Pad axis 0 to a multiple of `n_dev` so the array can be row-sharded
+    over the mesh (padding rows are zeros; gbq queries never index past
+    R^3, so the pad is dead weight only)."""
+    n = arr.shape[0]
+    pad = (-n) % n_dev
+    if pad == 0:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+
+
+def gridsharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
+    """Mapping train step with the explicit-grid query mirror SHARDED over
+    the mesh — the memory-scaling mode for scenes whose explicit grid (and
+    its bf16 gbq mirror, ~0.5 GB each at R=200, growing cubically with
+    resolution) exceeds one chip's HBM (e.g. TUM at the reference's 1 cm
+    production voxel size on a 16 GB v5e, configs/Tum/tum.yaml).
+
+    gbq is row-sharded (P("data", None)); rays are data-parallel and the
+    field parameters replicated, as in sharded_map_train_step. XLA's SPMD
+    partitioner lowers the per-point row gather from the row-sharded mirror
+    to a local masked gather + cross-chip all-reduce of the [N, 32] gathered
+    rows (~10 MB over ICI per iteration at production batch sizes) — each
+    chip holds only 1/D of the grid mirror, and the result is bitwise the
+    single-device computation. Pad gbq with pad_rows_for_mesh first.
+
+    Returns step(params, opt_state, gbq, rays [N,7], rays_o, rays_d, key)
+    -> (params, opt_state, loss). N must divide the mesh size.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    rows = NamedSharding(mesh, P("data", None))
+    rgb_w, depth_w, sdf_w, fs_w = loss_weights
+    from remixfusion_tpu.models.scene_rep import SceneBuffers
+    from remixfusion_tpu.models.rba import RBABuffers
+
+    def loss_fn(params, gbq, rays, rays_o, rays_d, key):
+        # the hot loss path reads ONLY the gbq mirror (query_gbvw_fast);
+        # dense gbv/gbw are cold-consumer mirrors, so dummies suffice here
+        buffers = SceneBuffers(
+            gbv=jnp.zeros((1, 1, 1, 4), jnp.float32),
+            gbw=jnp.zeros((1, 1, 1), jnp.float32),
+            rba=RBABuffers(init_c2w=jnp.zeros((0, 4, 4)),
+                           init_r=jnp.zeros((0, 3)),
+                           init_t=jnp.zeros((0, 3))),
+            gbq=gbq)
+        ret = scene.mapping_losses(
+            params, buffers, key, rays_o, rays_d, rays[:, 3:6], rays[:, 6:7])
+        return (rgb_w * ret["rgb_res_loss"]
+                + depth_w * ret["depth_res_loss"]
+                + sdf_w * ret["sdf_res_loss"]
+                + fs_w * ret["fs_res_loss"])
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, rows, shard, shard, shard, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, gbq, rays, rays_o, rays_d, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, gbq, rays, rays_o, rays_d, key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -226,8 +226,10 @@ class RemixFusionTPU:
         # cap covers the mapping round's look-back (map_every) plus the
         # harvested-frontier lag (harvest_depth) so the round's keyframe is
         # never evicted before its integrate revisits it
+        self._prefetch_depth = int(config["data"].get("prefetch_depth", 3))
         self._dev_frames = DeviceFramePrefetcher(
-            cap=config["mapping"]["map_every"] + self._harvest_depth + 3,
+            cap=(config["mapping"]["map_every"] + self._harvest_depth + 2
+                 + self._prefetch_depth),
             pool=self._xfer_pool)
 
         self.out_dir = os.path.join(config["data"]["output"],
@@ -857,12 +859,16 @@ class RemixFusionTPU:
             try:
                 nxt_batch = self._get_frame(nxt)
                 self._dev_frames.prefetch(nxt, nxt_batch)
-                # two-deep upload queue: the tunnel's bandwidth fluctuates
+                # multi-deep upload queue: the tunnel's bandwidth fluctuates
                 # second-to-second (probe: 35 -> 65 ms within one bench
-                # run), so a second in-flight frame lets a fast second
-                # absorb a slow one instead of stalling the fuser
-                if nxt + 1 < self.dataset.num_frames:
-                    self._dev_frames.prefetch(nxt + 1, self._get_frame(nxt + 1))
+                # run), so extra in-flight frames let fast seconds absorb
+                # slow ones instead of stalling the fuser (depth x frame
+                # period of burst absorption; data.prefetch_depth)
+                for ahead in range(1, self._prefetch_depth):
+                    if nxt + ahead >= self.dataset.num_frames:
+                        break
+                    self._dev_frames.prefetch(nxt + ahead,
+                                              self._get_frame(nxt + ahead))
                 sc = self._sel_cache
                 need_sel = (sc is None or nxt - sc[0] >= self._sel_reuse
                             or not np.array_equal(

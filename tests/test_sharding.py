@@ -267,3 +267,53 @@ def test_interleaved_track_map_dataflow_sharded():
                     jax.tree_util.tree_leaves(p_d)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-5)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_gridsharded_map_step_matches_single_device(n_dev):
+    """Grid-sharded mapping (the HBM-scaling mode: the bf16 gbq query
+    mirror row-sharded over the mesh, parallel/sharding.py
+    gridsharded_map_train_step) must reproduce the single-device update —
+    the SPMD gather from the row-sharded mirror is semantically the full
+    gather."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+    from remixfusion_tpu.parallel.sharding import (
+        gridsharded_map_train_step, pad_rows_for_mesh)
+
+    (cfg, scene, params, buffers, rays, rays_o, rays_d,
+     lw, _) = _scene_and_data()
+    gbq = _pack_gbq(buffers.gbv)
+    buffers = buffers._replace(gbq=gbq)
+    tx = optax.sgd(1e-2)
+
+    mesh = make_mesh(n_dev)
+    step_sh = gridsharded_map_train_step(scene, tx, mesh, lw)
+
+    def loss_fn(params, buffers, rays, rays_o, rays_d, key):
+        ret = scene.mapping_losses(params, buffers, key, rays_o, rays_d,
+                                   rays[:, 3:6], rays[:, 6:7])
+        return (lw[0] * ret["rgb_res_loss"] + lw[1] * ret["depth_res_loss"]
+                + lw[2] * ret["sdf_res_loss"] + lw[3] * ret["fs_res_loss"])
+
+    @jax.jit
+    def step_1d(params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, buffers, jnp.asarray(rays), jnp.asarray(rays_o),
+            jnp.asarray(rays_d), key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(7)
+    p1, _, l1 = step_1d(params, tx.init(params), key)
+    p2, _, l2 = step_sh(jax.tree_util.tree_map(lambda x: x.copy(), params),
+                        tx.init(params), pad_rows_for_mesh(gbq, n_dev),
+                        jnp.asarray(rays), jnp.asarray(rays_o),
+                        jnp.asarray(rays_d), key)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
