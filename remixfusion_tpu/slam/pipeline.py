@@ -1078,19 +1078,25 @@ class RemixFusionTPU:
         except Exception as e:  # the viewer must never kill the run
             print("live viewer publish failed:", e)
 
-    def run(self):
+    def run(self, resume: bool = False):
+        """Online loop. With resume=True the pipeline continues after the
+        frame a load_state checkpoint recorded (first-frame mapping is
+        skipped — its products are part of the restored state)."""
         cfg_path = os.path.join(self.out_dir, "config.json")
         with open(cfg_path, "w") as f:
             json.dump(self.config, f, indent=2, default=str)
 
-        print("First frame mapping...")
-        self.first_frame_mapping()
-        print("First frame mapping done")
+        if not resume:
+            print("First frame mapping...")
+            self.first_frame_mapping()
+            print("First frame mapping done")
 
         n = self.dataset.num_frames
         map_every = self.config["mapping"]["map_every"]
         kf_every = self.config["mapping"]["keyframe_every"]
-        for idx in range(1, n):
+        state_every = int(self.config["mapping"].get("state_every", 0))
+        start = self.tracking_idx + 1 if resume else 1
+        for idx in range(start, n):
             batch = self._get_frame(idx)
             self.track_frame(idx, batch)
             self._publish_live(idx, batch)
@@ -1105,6 +1111,8 @@ class RemixFusionTPU:
                       if self.stats["map_time"] else 0.0)
                 print(f"[{idx}/{n}] track {tt*1000:.1f} ms/frame, "
                       f"map {mt*1000:.1f} ms/round")
+            if state_every and idx % state_every == 0:
+                self.save_state(os.path.join(self.out_dir, "resume.npz"))
         self.finalize()
 
     def finalize(self):
@@ -1225,6 +1233,130 @@ class RemixFusionTPU:
             **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat)},
         )
         print(f"Saved checkpoint to {path}")
+
+    def save_state(self, path):
+        """FULL mid-run resume checkpoint — a capability the reference does
+        not have (its checkpoint is model+poses only, saved once at the end,
+        mp_slam/mapper.py:257-265, and SURVEY §5 notes 'no mid-run resume').
+        Captures everything the online loop needs to continue: pose arrays,
+        loop counters, model params + BOTH optimizer states, the explicit
+        global grid, the moving local volume with its bounds history and
+        re-center state, and the device keyframe ray store. Pair with
+        load_state + run(resume=True)."""
+        self._harvest_pending_track()
+        self._apply_pending_ba()
+        self.buffers = self.mapper.ensure_dense(self.buffers)
+        flat_p, _ = jax.tree_util.tree_flatten(self.params)
+        flat_mo, _ = jax.tree_util.tree_flatten(self.mapper.map_opt_state)
+        flat_ro, _ = jax.tree_util.tree_flatten(self.mapper.rba_opt_state)
+        mv = self.mv
+        vr_keys = np.asarray(list(mv.frame_to_vrange.keys()),
+                             np.int64).reshape(-1, 2)
+        vr_vals = (np.stack([np.asarray(v, np.float64)
+                             for v in mv.frame_to_vrange.values()])
+                   if mv.frame_to_vrange else np.zeros((0, 3, 2)))
+        np.savez_compressed(
+            path,
+            pose=self.est_c2w_data, pose_rel=self.est_c2w_data_rel,
+            ro_pose=self.RO_c2w_data,
+            tracking_idx=self.tracking_idx, mapping_idx=self.mapping_idx,
+            key_counter=self._key_counter,
+            gbv=np.asarray(self.buffers.gbv),
+            gbw=np.asarray(self.buffers.gbw),
+            rba_init_c2w=np.asarray(self.buffers.rba.init_c2w),
+            rba_init_r=np.asarray(self.buffers.rba.init_r),
+            rba_init_t=np.asarray(self.buffers.rba.init_t),
+            mv_tsdf=np.asarray(mv.state.tsdf),
+            mv_weight=np.asarray(mv.state.weight),
+            mv_color=np.asarray(mv.state.color),
+            mv_bnds=np.asarray(mv.vol_bnds, np.float64),
+            mv_kf=np.asarray([mv.kfx, mv.kfy, mv.kfz], np.float64),
+            mv_first_axis=mv.first_axis, mv_start_id=mv.start_id,
+            mv_fs_phase=getattr(mv, "_fs_phase", 0),
+            vr_keys=vr_keys, vr_vals=vr_vals,
+            kf_rays=np.asarray(self.kfdb.rays),
+            kf_frame_ids=np.asarray(self.kfdb.frame_ids, np.int64),
+            **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat_p)},
+            **{f"mopt_{i}": np.asarray(p) for i, p in enumerate(flat_mo)},
+            **{f"ropt_{i}": np.asarray(p) for i, p in enumerate(flat_ro)},
+        )
+        print(f"Saved resume state to {path} (frame {self.tracking_idx})")
+
+    def load_state(self, path):
+        """Restore a save_state checkpoint; the run loop can then continue
+        from frame tracking_idx + 1 (run(resume=True))."""
+        from remixfusion_tpu.mapping.mapper import _pack_gbq
+        from remixfusion_tpu.models.rba import RBABuffers
+        from remixfusion_tpu.ops.tsdf import VolumeState
+
+        data = np.load(path)
+        self.est_c2w_data = data["pose"]
+        self.est_c2w_data_rel = data["pose_rel"]
+        self.RO_c2w_data = data["ro_pose"]
+        self.tracking_idx = int(data["tracking_idx"])
+        self.mapping_idx = int(data["mapping_idx"])
+        self._key_counter = int(data["key_counter"])
+        # fresh host-RNG stream keyed off the resume point (the np RNG's
+        # role is tie-breaking/subsampling; continuation need not replay
+        # the interrupted stream bit-for-bit)
+        self._np_rng = np.random.default_rng(
+            (self._seed + 0x9E3779B9 * self.tracking_idx) & 0xFFFFFFFF)
+
+        def unflatten_like(template, prefix):
+            flat, treedef = jax.tree_util.tree_flatten(template)
+            new = [jnp.asarray(data[f"{prefix}_{i}"])
+                   for i in range(len(flat))]
+            return jax.tree_util.tree_unflatten(treedef, new)
+
+        self.params = unflatten_like(self.params, "param")
+        self.mapper.map_opt_state = unflatten_like(
+            self.mapper.map_opt_state, "mopt")
+        self.mapper.rba_opt_state = unflatten_like(
+            self.mapper.rba_opt_state, "ropt")
+
+        gbv = jnp.asarray(data["gbv"])
+        self.buffers = self.buffers._replace(
+            gbv=gbv, gbw=jnp.asarray(data["gbw"]), gbq=_pack_gbq(gbv),
+            gbv_tm=None, gbw_tm=None,
+            rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
+                           jnp.asarray(data["rba_init_r"]),
+                           jnp.asarray(data["rba_init_t"])))
+        self.mapper.dense_stale = False
+
+        mv = self.mv
+        mv.vol_bnds = np.asarray(data["mv_bnds"], np.float64)
+        mv.kfx, mv.kfy, mv.kfz = (float(x) for x in data["mv_kf"])
+        mv.first_axis = int(data["mv_first_axis"])
+        mv.start_id = int(data["mv_start_id"])
+        mv._fs_phase = int(data["mv_fs_phase"])
+        mv.frame_to_vrange = {
+            (int(k[0]), int(k[1])): data["vr_vals"][i]
+            for i, k in enumerate(data["vr_keys"])}
+        origin = jnp.asarray(mv.vol_bnds[:, 0], jnp.float32)
+        mv.state = VolumeState(jnp.asarray(data["mv_tsdf"]),
+                               jnp.asarray(data["mv_weight"]),
+                               jnp.asarray(data["mv_color"]), origin)
+        if mv.brick and getattr(mv, "fs_scope", "frustum") == "seen":
+            mv.reseed_seen_from_state()
+
+        self.kfdb.rays = jnp.asarray(data["kf_rays"])
+        self.kfdb.frame_ids = [int(i) for i in data["kf_frame_ids"]]
+
+        # rebuild the device pose chain + harvested frontier for the
+        # const-speed prediction and the lookahead selectors
+        i = self.tracking_idx
+        self._dev_pose_prev = jnp.asarray(self.est_c2w_data[i])
+        self._dev_pose_prev2 = jnp.asarray(self.est_c2w_data[max(i - 1, 0)])
+        self._last_harvested = [
+            (j, self.est_c2w_data[j].copy())
+            for j in range(max(i - 1, 0), i + 1)]
+        self._pending_track = []
+        self._pending_ba = None
+        self._sel_cache = None
+        self._lookahead_sel = None
+        self._integrate_la = None
+        print(f"Loaded resume state from {path} "
+              f"(continuing after frame {self.tracking_idx})")
 
     def load_ckpt(self, path):
         data = np.load(path)

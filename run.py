@@ -31,6 +31,11 @@ def main():
                         help="overrides data.output from the config")
     parser.add_argument("--max_frames", type=int, default=None,
                         help="truncate the sequence (debug/benchmark aid)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume.npz from pipeline.save_state (or "
+                             "mapping.state_every) — continues the online "
+                             "loop after the checkpointed frame; a "
+                             "capability the reference does not have")
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -48,7 +53,11 @@ def main():
         f.write(json.dumps(cfg, indent=4, default=str))
 
     slam = RemixFusionTPU(cfg)
-    slam.run()
+    if args.resume:
+        slam.load_state(args.resume)
+        slam.run(resume=True)
+    else:
+        slam.run()
 
 
 if __name__ == "__main__":

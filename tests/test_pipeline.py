@@ -82,3 +82,61 @@ def test_checkpoint_roundtrip(tmp_path):
                        np.asarray(slam.params.hash_table))
     assert np.allclose(np.asarray(slam2.buffers.gbw),
                        np.asarray(slam.buffers.gbw))
+
+
+def test_midrun_resume(tmp_path):
+    """Full mid-run resume (save_state/load_state — beyond the reference,
+    which has no mid-run resume, SURVEY §5): interrupt after frame 6,
+    restore into a FRESH pipeline, continue to the end, and land the same
+    quality class as an uninterrupted run."""
+    def make(exp):
+        cfg = tiny_config(
+            data={"output": str(tmp_path), "exp_name": exp,
+                  "synthetic": {"n_frames": 12, "orbit_degrees": 25.0}},
+            RO={"particle_iter_lens": 8, "depth_level": [4, 2, 1],
+                "init_size": 0.02, "count_search": 100},
+            volume={"voxel_size": 0.025},
+            mapping={"first_iters": 15, "iters": 2, "BA_iters": 2,
+                     "keyframe_every": 2, "map_every": 2, "sample": 128},
+            mesh={"vis": 0, "voxel_final": 0.1},
+        )
+        return cfg
+
+    # --- phase 1: run to frame 6, checkpoint, abandon ---
+    slam = RemixFusionTPU(make("resume_a"))
+    slam.first_frame_mapping()
+    for idx in range(1, 7):
+        slam.track_frame(idx, slam.dataset[idx])
+        while slam.tracking_idx > slam.mapping_idx + 2:
+            cur = slam.mapping_idx + 2
+            if cur >= 12:
+                break
+            slam.mapping_round(cur)
+    ckpt = os.path.join(str(tmp_path), "resume.npz")
+    slam.save_state(ckpt)
+    poses_before = slam.est_c2w_data[:7].copy()
+    map_idx_before = slam.mapping_idx
+
+    # --- phase 2: fresh pipeline, restore, continue to the end ---
+    slam2 = RemixFusionTPU(make("resume_b"))
+    slam2.load_state(ckpt)
+    assert slam2.tracking_idx == 6
+    assert slam2.mapping_idx == map_idx_before
+    np.testing.assert_array_equal(slam2.est_c2w_data[:7], poses_before)
+    assert len(slam2.kfdb) == len(slam.kfdb)
+    slam2.run(resume=True)
+
+    # resumed trajectory is complete and in the same quality class as an
+    # uninterrupted run on this scene (test_end_to_end_synthetic: <10 cm)
+    assert np.isfinite(slam2.est_c2w_data).all()
+    poses_np = slam2.convert_relative_pose_npy()
+    gt = slam2.pose_gt
+    stats = evaluate_ate(
+        {float(i): gt[i] for i in range(len(gt))},
+        {float(i): poses_np[i] for i in range(len(poses_np))})
+    assert stats["rmse"] < 0.10, stats
+    # (the pre-interrupt KEYFRAME poses legitimately keep refining through
+    # later BA rounds — verbatim prefix equality only holds at load time)
+    out = os.path.join(str(tmp_path), "resume_b")
+    assert os.path.exists(os.path.join(out, "all_poses.npy"))
+    assert os.path.exists(os.path.join(out, "mesh.ply"))
