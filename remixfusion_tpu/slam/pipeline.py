@@ -941,21 +941,28 @@ class RemixFusionTPU:
         self._pending_ba = (poses_all, cur_kf_id, cur_frame_id)
         return losses
 
-    def _apply_pending_ba(self):
+    def _apply_pending_ba(self, est=None, clear=True):
         """Write BA-refined keyframe poses back into est_c2w_data
-        (reference mapper.py:510-520), one round late."""
+        (reference mapper.py:510-520), one round late. `est` redirects the
+        write-back into a snapshot copy (clear=False leaves the pending
+        entry for the live loop) — save_state uses that so periodic
+        checkpointing does not collapse the deliberate one-round BA
+        staleness of the live run."""
         if self._pending_ba is None:
             return
         poses_all, cur_kf_id, cur_frame_id = self._pending_ba
-        self._pending_ba = None
+        if clear:
+            self._pending_ba = None
+        if est is None:
+            est = self.est_c2w_data
         poses_all = np.asarray(poses_all)
         m = self.config["mapping"]
         kf_every = m["keyframe_every"]
         if cur_kf_id >= 1:
             kfupid = np.arange(cur_kf_id) * kf_every
-            self.est_c2w_data[kfupid] = poses_all[:cur_kf_id]
+            est[kfupid] = poses_all[:cur_kf_id]
             if m["optim_cur"]:
-                self.est_c2w_data[cur_frame_id] = poses_all[cur_kf_id]
+                est[cur_frame_id] = poses_all[cur_kf_id]
 
     def mapping_round(self, cur_frame_id):
         """One mapping round at current_map_id (reference mapper.py:874-928)."""
@@ -1217,20 +1224,46 @@ class RemixFusionTPU:
                      self.bound, self.mc_bound, voxel_size=voxel_size,
                      mesh_savepath=path, explicit_only=True)
 
-    def save_ckpt(self, path):
-        """Model + pose checkpoint (reference mapper.py:257-265)."""
+    def _model_state_dict(self):
+        """Shared model-state fields of save_ckpt AND save_state (one field
+        list — the two checkpoint formats cannot drift)."""
         self.buffers = self.mapper.ensure_dense(self.buffers)
-        flat, treedef = jax.tree_util.tree_flatten(self.params)
-        np.savez(
-            path,
-            pose=self.est_c2w_data,
-            pose_rel=self.est_c2w_data_rel,
+        flat, _ = jax.tree_util.tree_flatten(self.params)
+        return dict(
             gbv=np.asarray(self.buffers.gbv),
             gbw=np.asarray(self.buffers.gbw),
             rba_init_c2w=np.asarray(self.buffers.rba.init_c2w),
             rba_init_r=np.asarray(self.buffers.rba.init_r),
             rba_init_t=np.asarray(self.buffers.rba.init_t),
             **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat)},
+        )
+
+    def _restore_model_state(self, data):
+        """Inverse of _model_state_dict, incl. the derived-mirror
+        invariants: gbq repacked from the loaded grid, stale tile-major
+        primaries dropped (they rebuild lazily, mapper.ensure_tile_major)."""
+        from remixfusion_tpu.mapping.mapper import _pack_gbq
+        from remixfusion_tpu.models.rba import RBABuffers
+
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        new_flat = [jnp.asarray(data[f"param_{i}"]) for i in range(len(flat))]
+        self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
+        gbv = jnp.asarray(data["gbv"])
+        self.buffers = self.buffers._replace(
+            gbv=gbv, gbw=jnp.asarray(data["gbw"]), gbq=_pack_gbq(gbv),
+            gbv_tm=None, gbw_tm=None,
+            rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
+                           jnp.asarray(data["rba_init_r"]),
+                           jnp.asarray(data["rba_init_t"])))
+        self.mapper.dense_stale = False
+
+    def save_ckpt(self, path):
+        """Model + pose checkpoint (reference mapper.py:257-265)."""
+        np.savez(
+            path,
+            pose=self.est_c2w_data,
+            pose_rel=self.est_c2w_data_rel,
+            **self._model_state_dict(),
         )
         print(f"Saved checkpoint to {path}")
 
@@ -1242,11 +1275,23 @@ class RemixFusionTPU:
         loop counters, model params + BOTH optimizer states, the explicit
         global grid, the moving local volume with its bounds history and
         re-center state, and the device keyframe ray store. Pair with
-        load_state + run(resume=True)."""
+        load_state + run(resume=True).
+
+        Side effects on the live run: the pose-harvest queue is drained
+        (queued device results become harvested poses a frame or two
+        early — both are valid states of the loop); the pending BA
+        write-back is NOT applied to the live arrays (it folds into the
+        saved snapshot only). The write is atomic (tmp + os.replace), so
+        a crash mid-save cannot destroy the previous checkpoint."""
+        # Drain the pose-harvest queue (un-harvested results are device
+        # handles — reading them is the only way to checkpoint them; the
+        # live loop would have harvested them 1-2 frames later anyway).
+        # The pending BA write-back, by contrast, folds into a SNAPSHOT
+        # copy only, so periodic checkpointing does not collapse the
+        # one-round-late BA staleness of the live run.
         self._harvest_pending_track()
-        self._apply_pending_ba()
-        self.buffers = self.mapper.ensure_dense(self.buffers)
-        flat_p, _ = jax.tree_util.tree_flatten(self.params)
+        est_snap = self.est_c2w_data.copy()
+        self._apply_pending_ba(est=est_snap, clear=False)
         flat_mo, _ = jax.tree_util.tree_flatten(self.mapper.map_opt_state)
         flat_ro, _ = jax.tree_util.tree_flatten(self.mapper.rba_opt_state)
         mv = self.mv
@@ -1255,17 +1300,14 @@ class RemixFusionTPU:
         vr_vals = (np.stack([np.asarray(v, np.float64)
                              for v in mv.frame_to_vrange.values()])
                    if mv.frame_to_vrange else np.zeros((0, 3, 2)))
+        tmp = path + ".tmp"
         np.savez_compressed(
-            path,
-            pose=self.est_c2w_data, pose_rel=self.est_c2w_data_rel,
+            tmp,
+            pose=est_snap, pose_rel=self.est_c2w_data_rel,
             ro_pose=self.RO_c2w_data,
             tracking_idx=self.tracking_idx, mapping_idx=self.mapping_idx,
             key_counter=self._key_counter,
-            gbv=np.asarray(self.buffers.gbv),
-            gbw=np.asarray(self.buffers.gbw),
-            rba_init_c2w=np.asarray(self.buffers.rba.init_c2w),
-            rba_init_r=np.asarray(self.buffers.rba.init_r),
-            rba_init_t=np.asarray(self.buffers.rba.init_t),
+            **self._model_state_dict(),
             mv_tsdf=np.asarray(mv.state.tsdf),
             mv_weight=np.asarray(mv.state.weight),
             mv_color=np.asarray(mv.state.color),
@@ -1276,20 +1318,30 @@ class RemixFusionTPU:
             vr_keys=vr_keys, vr_vals=vr_vals,
             kf_rays=np.asarray(self.kfdb.rays),
             kf_frame_ids=np.asarray(self.kfdb.frame_ids, np.int64),
-            **{f"param_{i}": np.asarray(p) for i, p in enumerate(flat_p)},
             **{f"mopt_{i}": np.asarray(p) for i, p in enumerate(flat_mo)},
             **{f"ropt_{i}": np.asarray(p) for i, p in enumerate(flat_ro)},
         )
+        # np.savez appends .npz to names without it; normalize then swap
+        # into place atomically so a crash mid-save (the exact scenario
+        # this checkpoint exists for) cannot destroy the previous one
+        if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+            tmp += ".npz"
+        os.replace(tmp, path)
         print(f"Saved resume state to {path} (frame {self.tracking_idx})")
 
     def load_state(self, path):
         """Restore a save_state checkpoint; the run loop can then continue
         from frame tracking_idx + 1 (run(resume=True))."""
-        from remixfusion_tpu.mapping.mapper import _pack_gbq
-        from remixfusion_tpu.models.rba import RBABuffers
         from remixfusion_tpu.ops.tsdf import VolumeState
 
         data = np.load(path)
+        n_ckpt = data["pose"].shape[0]
+        n_ds = self.dataset.num_frames
+        if n_ckpt != n_ds:
+            raise ValueError(
+                f"resume checkpoint was saved for a {n_ckpt}-frame sequence "
+                f"but the dataset has {n_ds} frames — resume with the same "
+                f"config/--max_frames the saving run used")
         self.est_c2w_data = data["pose"]
         self.est_c2w_data_rel = data["pose_rel"]
         self.RO_c2w_data = data["ro_pose"]
@@ -1308,20 +1360,11 @@ class RemixFusionTPU:
                    for i in range(len(flat))]
             return jax.tree_util.tree_unflatten(treedef, new)
 
-        self.params = unflatten_like(self.params, "param")
         self.mapper.map_opt_state = unflatten_like(
             self.mapper.map_opt_state, "mopt")
         self.mapper.rba_opt_state = unflatten_like(
             self.mapper.rba_opt_state, "ropt")
-
-        gbv = jnp.asarray(data["gbv"])
-        self.buffers = self.buffers._replace(
-            gbv=gbv, gbw=jnp.asarray(data["gbw"]), gbq=_pack_gbq(gbv),
-            gbv_tm=None, gbw_tm=None,
-            rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
-                           jnp.asarray(data["rba_init_r"]),
-                           jnp.asarray(data["rba_init_t"])))
-        self.mapper.dense_stale = False
+        self._restore_model_state(data)
 
         mv = self.mv
         mv.vol_bnds = np.asarray(data["mv_bnds"], np.float64)
@@ -1343,12 +1386,16 @@ class RemixFusionTPU:
         self.kfdb.frame_ids = [int(i) for i in data["kf_frame_ids"]]
 
         # rebuild the device pose chain + harvested frontier for the
-        # const-speed prediction and the lookahead selectors
+        # const-speed prediction and the lookahead selectors — from the
+        # RAW tracked poses (RO_c2w_data), which is what the live chain
+        # holds: est_c2w_data keyframe rows may be BA-refined, and mixing
+        # a refined pose with a raw one would yield a velocity estimate
+        # neither run ever computes (_host_pose_estimate reads RO too)
         i = self.tracking_idx
-        self._dev_pose_prev = jnp.asarray(self.est_c2w_data[i])
-        self._dev_pose_prev2 = jnp.asarray(self.est_c2w_data[max(i - 1, 0)])
+        self._dev_pose_prev = jnp.asarray(self.RO_c2w_data[i])
+        self._dev_pose_prev2 = jnp.asarray(self.RO_c2w_data[max(i - 1, 0)])
         self._last_harvested = [
-            (j, self.est_c2w_data[j].copy())
+            (j, self.RO_c2w_data[j].copy())
             for j in range(max(i - 1, 0), i + 1)]
         self._pending_track = []
         self._pending_ba = None
@@ -1362,23 +1409,7 @@ class RemixFusionTPU:
         data = np.load(path)
         self.est_c2w_data = data["pose"]
         self.est_c2w_data_rel = data["pose_rel"]
-        flat, treedef = jax.tree_util.tree_flatten(self.params)
-        new_flat = [jnp.asarray(data[f"param_{i}"]) for i in range(len(flat))]
-        self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
-        from remixfusion_tpu.models.rba import RBABuffers
-        from remixfusion_tpu.mapping.mapper import _pack_gbq
-        gbv = jnp.asarray(data["gbv"])
-        gbw = jnp.asarray(data["gbw"])
-        self.buffers = self.buffers._replace(
-            gbv=gbv, gbw=gbw, gbq=_pack_gbq(gbv),
-            # drop the tile-major primaries: stale copies would override
-            # the loaded grid on the next tiled keyframe (they rebuild
-            # lazily from the dense mirrors, mapper.ensure_tile_major)
-            gbv_tm=None, gbw_tm=None,
-            rba=RBABuffers(jnp.asarray(data["rba_init_c2w"]),
-                           jnp.asarray(data["rba_init_r"]),
-                           jnp.asarray(data["rba_init_t"])))
-        self.mapper.dense_stale = False  # just loaded fresh dense mirrors
+        self._restore_model_state(data)
 
     def update_GBV(self, cur_id):
         """Re-fuse the explicit global volume from all keyframes at their

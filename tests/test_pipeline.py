@@ -122,7 +122,11 @@ def test_midrun_resume(tmp_path):
     slam2.load_state(ckpt)
     assert slam2.tracking_idx == 6
     assert slam2.mapping_idx == map_idx_before
-    np.testing.assert_array_equal(slam2.est_c2w_data[:7], poses_before)
+    # the checkpoint folds the pending (one-round-late) BA write-back into
+    # its pose snapshot, so keyframe rows may differ from the live array
+    # by the last BA refinement — equality up to that fold
+    np.testing.assert_allclose(slam2.est_c2w_data[:7], poses_before,
+                               atol=5e-4)
     assert len(slam2.kfdb) == len(slam.kfdb)
     slam2.run(resume=True)
 
@@ -140,3 +144,31 @@ def test_midrun_resume(tmp_path):
     out = os.path.join(str(tmp_path), "resume_b")
     assert os.path.exists(os.path.join(out, "all_poses.npy"))
     assert os.path.exists(os.path.join(out, "mesh.ply"))
+
+
+def test_resume_rejects_mismatched_sequence_length(tmp_path):
+    """load_state must fail fast when the dataset length differs from the
+    saving run (a silent mismatch would IndexError only after minutes of
+    resumed compute)."""
+    import pytest
+
+    def make(exp, n_frames):
+        return tiny_config(
+            data={"output": str(tmp_path), "exp_name": exp,
+                  "synthetic": {"n_frames": n_frames, "orbit_degrees": 25.0}},
+            RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1]},
+            volume={"voxel_size": 0.025},
+            mapping={"first_iters": 5, "iters": 1, "BA_iters": 1,
+                     "keyframe_every": 2, "map_every": 2, "sample": 64},
+            mesh={"vis": 0},
+        )
+
+    slam = RemixFusionTPU(make("mismatch_a", 12))
+    slam.first_frame_mapping()
+    slam.track_frame(1, slam.dataset[1])
+    ckpt = os.path.join(str(tmp_path), "resume.npz")
+    slam.save_state(ckpt)
+
+    slam2 = RemixFusionTPU(make("mismatch_b", 10))
+    with pytest.raises(ValueError, match="12-frame"):
+        slam2.load_state(ckpt)
