@@ -49,6 +49,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _weighted_loss(ret, loss_weights):
+    """The mapper's 4-term weighted rendering loss (shared by both sharded
+    step builders; mirrors Mapper._weighted_loss minus the smoothness
+    term)."""
+    rgb_w, depth_w, sdf_w, fs_w = loss_weights
+    return (rgb_w * ret["rgb_res_loss"]
+            + depth_w * ret["depth_res_loss"]
+            + sdf_w * ret["sdf_res_loss"]
+            + fs_w * ret["fs_res_loss"])
+
+
 def sharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
     """Build a jitted data-parallel mapping train step over `mesh`.
 
@@ -58,15 +69,11 @@ def sharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
     """
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
-    rgb_w, depth_w, sdf_w, fs_w = loss_weights
 
     def loss_fn(params, buffers, rays, rays_o, rays_d, key):
         ret = scene.mapping_losses(
             params, buffers, key, rays_o, rays_d, rays[:, 3:6], rays[:, 6:7])
-        return (rgb_w * ret["rgb_res_loss"]
-                + depth_w * ret["depth_res_loss"]
-                + sdf_w * ret["sdf_res_loss"]
-                + fs_w * ret["fs_res_loss"])
+        return _weighted_loss(ret, loss_weights)
 
     @partial(
         jax.jit,
@@ -117,7 +124,6 @@ def gridsharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
     rows = NamedSharding(mesh, P("data", None))
-    rgb_w, depth_w, sdf_w, fs_w = loss_weights
     from remixfusion_tpu.models.scene_rep import SceneBuffers
     from remixfusion_tpu.models.rba import RBABuffers
 
@@ -133,10 +139,7 @@ def gridsharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
             gbq=gbq)
         ret = scene.mapping_losses(
             params, buffers, key, rays_o, rays_d, rays[:, 3:6], rays[:, 6:7])
-        return (rgb_w * ret["rgb_res_loss"]
-                + depth_w * ret["depth_res_loss"]
-                + sdf_w * ret["sdf_res_loss"]
-                + fs_w * ret["fs_res_loss"])
+        return _weighted_loss(ret, loss_weights)
 
     @partial(
         jax.jit,
