@@ -64,9 +64,14 @@ def probe_tunnel():
     yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
     dep_s = 2.0 + yy / 300 + np.sin(xx / 40) * 0.3
     rgb_s = np.stack([xx / 640, yy / 480, (xx + yy) / 1120], -1)
-    smooth_ms = up10(pack_frame(dep_s, rgb_s.astype(np.float32)))
+    packed_s = pack_frame(dep_s, rgb_s.astype(np.float32))
+    smooth_ms = up10(packed_s)
+    # depth-only wire (the 4-of-5 non-keyframe payload under
+    # volume.color_fuse=keyframes: two row-delta depth planes, 0.61 MB)
+    donly_ms = up10(packed_s[:2])
     print(f"# tunnel probe: dispatch_rtt={rtt_ms:.2f}ms frame_upload "
-          f"noise={noise_ms:.1f}ms smooth={smooth_ms:.1f}ms (1.54 MB packed)",
+          f"noise={noise_ms:.1f}ms smooth={smooth_ms:.1f}ms (1.54 MB) "
+          f"depth_only={donly_ms:.1f}ms (0.61 MB)",
           file=sys.stderr)
 
 

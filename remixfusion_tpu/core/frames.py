@@ -63,11 +63,18 @@ def pack_frame(depth: np.ndarray, rgb: np.ndarray) -> np.ndarray:
 @jax.jit
 def unpack_frame(packed: jnp.ndarray):
     """Device-side: packed uint8 [5, H, W] -> (depth f32 [H,W] meters,
-    rgb f32 [H,W,3] in [0,1]). Exact inverse of pack_frame."""
+    rgb f32 [H,W,3] in [0,1]). Exact inverse of pack_frame.
+
+    A [2, H, W] buffer (the depth planes alone — non-keyframe frames under
+    volume.color_fuse=keyframes ship only these, 40% of the bytes) decodes
+    to (depth, None); the plane count is static so jit specializes per
+    shape."""
     p = packed.astype(jnp.int32)
     dd = p[0] | (p[1] << 8)
     d16 = jnp.cumsum(dd, axis=-1) & 0xFFFF
     depth = d16.astype(jnp.float32) / DEPTH_SCALE
+    if packed.shape[0] == 2:
+        return depth, None
     rgb8 = jnp.cumsum(p[2:5], axis=-1) & 0xFF
     rgb = jnp.transpose(rgb8, (1, 2, 0)).astype(jnp.float32) / 255.0
     return depth, rgb
@@ -86,20 +93,25 @@ class DeviceFramePrefetcher:
     thread for tens of ms (measured 39 ms/frame at 640x480), but it releases
     the GIL, so a worker overlaps it with the main thread's harvest wait.
     get() then joins the future (usually already resolved).
+
+    `needs_color(idx) -> bool` (optional) gates the wire payload per frame:
+    frames that don't need color upload only the two depth planes (keyframe-
+    only color fusion, volume.color_fuse). get() restages with color if a
+    depth-only entry is later requested where color is required.
     """
 
-    def __init__(self, cap: int = 4, pool=None):
+    def __init__(self, cap: int = 4, pool=None, needs_color=None):
         self.cap = cap
         self.pool = pool
+        self.needs_color = needs_color or (lambda idx: True)
         self._cache: dict[int, object] = {}
 
     @staticmethod
     def _stage(packed):
         return unpack_frame(jax.device_put(packed))
 
-    def prefetch(self, idx: int, batch) -> None:
-        if idx in self._cache:
-            return
+    @staticmethod
+    def _packed_of(batch):
         packed = batch.get("_packed") if isinstance(batch, dict) else None
         if packed is None:
             packed = pack_frame(np.asarray(batch["depth"]),
@@ -108,6 +120,16 @@ class DeviceFramePrefetcher:
                 # real sensors deliver u16-mm/u8 natively; cache the packed
                 # form so synthetic/float sources also pay the quantize once
                 batch["_packed"] = packed
+        return packed
+
+    def prefetch(self, idx: int, batch, with_color=None) -> None:
+        if idx in self._cache:
+            return
+        packed = self._packed_of(batch)
+        if with_color is None:
+            with_color = self.needs_color(idx)
+        if not with_color:
+            packed = packed[:2]  # depth planes only (row-delta lo/hi bytes)
         if self.pool is not None:
             self._cache[idx] = self.pool.submit(self._stage, packed)
         else:
@@ -115,12 +137,19 @@ class DeviceFramePrefetcher:
         while len(self._cache) > self.cap:
             self._cache.pop(next(iter(self._cache)))
 
-    def get(self, idx: int, batch):
+    def get(self, idx: int, batch, with_color=None):
         hit = self._cache.get(idx)
         if hit is None:
-            self.prefetch(idx, batch)
+            self.prefetch(idx, batch, with_color=with_color)
             hit = self._cache[idx]
         if hasattr(hit, "result"):  # resolve a worker-staged future once
             hit = hit.result()
             self._cache[idx] = hit
+        if hit[1] is None:
+            want = with_color if with_color is not None \
+                else self.needs_color(idx)
+            if want:
+                # depth-only entry requested where color is required
+                hit = self._stage(self._packed_of(batch))
+                self._cache[idx] = hit
         return hit

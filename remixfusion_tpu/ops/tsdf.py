@@ -1117,6 +1117,11 @@ def _fuse_local_update(tsdf, weight, color, px, py, pz, img_pack, K, c2w,
     any shape S (tsdf/weight/px/py/pz: [*S]; color: [*S, 3];
     img_pack: [H*W, 4] = (depth, r, g, b) per pixel).
 
+    `color=None` runs the depth-only variant (img_pack [H*W, 1]): identical
+    tsdf/weight math, no color gather/update, returns (tsdf, weight). Used
+    by the keyframe-only color-fusion transport (volume.color_fuse) where
+    non-keyframe frames ship depth planes only.
+
     This is the same math as fuse_frame's local mode; the brick fuser reuses
     it on gathered rows so the two paths cannot diverge."""
     cam_x, cam_y, cam_z, pix_x, pix_y = _project(px, py, pz, K, c2w)
@@ -1128,7 +1133,8 @@ def _fuse_local_update(tsdf, weight, color, px, py, pz, img_pack, K, c2w,
     gathered = img_pack[flat_pix]
     shape = pix_x.shape
     depth_val = gathered[:, 0].reshape(shape)
-    new_c = gathered[:, 1:].reshape(shape + (3,))
+    new_c = gathered[:, 1:].reshape(shape + (3,)) if color is not None \
+        else None
     valid_depth = depth_val > 0
 
     vec_x = (pix_x_c.astype(jnp.float32) - K[0, 2]) / K[0, 0]
@@ -1144,16 +1150,18 @@ def _fuse_local_update(tsdf, weight, color, px, py, pz, img_pack, K, c2w,
     w_new = weight + obs_weight
     inv_w_new = 1.0 / jnp.where(w_new != 0, w_new, 1.0)
     new_tsdf = (tsdf * weight + obs_weight * dist) * inv_w_new
-    fused_c = (color * weight[..., None] + obs_weight * new_c) \
-        * inv_w_new[..., None]
 
     new_weight = w_new
     if weight_clamp:
         new_weight = jnp.minimum(w_new, 40.0)
-    color_band = update & (sdf <= trunc_margin)
-    fused_c = jnp.minimum(jnp.rint(fused_c), 255.0)
     tsdf_out = jnp.where(update, new_tsdf, tsdf)
     weight_out = jnp.where(update, new_weight, weight)
+    if color is None:
+        return tsdf_out, weight_out
+    fused_c = (color * weight[..., None] + obs_weight * new_c) \
+        * inv_w_new[..., None]
+    color_band = update & (sdf <= trunc_margin)
+    fused_c = jnp.minimum(jnp.rint(fused_c), 255.0)
     color_out = jnp.where(color_band[..., None], fused_c, color)
     return tsdf_out, weight_out, color_out
 
@@ -1658,13 +1666,19 @@ def bm_vox_flat(layout, vx, vy, vz):
 
 
 def make_brick_fuser_bm(dims, b, budget, *, voxel_size, trunc_margin, im_h,
-                        im_w, weight_clamp, scale_rgb):
+                        im_w, weight_clamp, scale_rgb, fuse_color=True):
     """Batched brick fuser over brick-major state.
 
     State: tsdf/weight [NB, b^3], color [NB, b^3, 3]. `bricks` [budget, 3]
     int32 brick coords (-1 padding). One gather + one unique-index scatter of
     `budget` contiguous rows per array; the exact local-fusion math
-    (_fuse_local_update, reference Volume.py:196-336) in between."""
+    (_fuse_local_update, reference Volume.py:196-336) in between.
+
+    `fuse_color=False` builds the depth-only variant
+    `fuse(tsdf_bm, weight_bm, bricks, depth_im, K, c2w, origin, obs_weight)
+    -> (tsdf, weight)`: bitwise-identical tsdf/weight updates, the color
+    state untouched. Non-keyframe frames use it so their transport ships
+    only the two depth planes (volume.color_fuse: keyframes)."""
     X, Y, Z = dims
     assert X % b == 0 and Y % b == 0 and Z % b == 0, (dims, b)
     BX, BY, BZ = X // b, Y // b, Z // b
@@ -1676,9 +1690,7 @@ def make_brick_fuser_bm(dims, b, budget, *, voxel_size, trunc_margin, im_h,
     jj = jnp.asarray(((wi // b) % b)[None], jnp.int32)
     kk = jnp.asarray((wi % b)[None], jnp.int32)
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def fuse(tsdf_bm, weight_bm, color_bm, bricks, depth_im, color_im, K,
-             c2w, origin, obs_weight):
+    def _rows(bricks):
         valid_b = bricks[:, 0] >= 0
         bx = jnp.maximum(bricks[:, 0], 0)
         by = jnp.maximum(bricks[:, 1], 0)
@@ -1686,16 +1698,42 @@ def make_brick_fuser_bm(dims, b, budget, *, voxel_size, trunc_margin, im_h,
         B = bricks.shape[0]
         ids = jnp.where(valid_b, (bx * BY + by) * BZ + bz,
                         NB + jnp.arange(B, dtype=jnp.int32))
-        t = tsdf_bm.at[ids].get(mode="fill", fill_value=1.0)   # [B, b3]
-        w = weight_bm.at[ids].get(mode="fill", fill_value=0.0)
-        c = color_bm.at[ids].get(mode="fill", fill_value=0.0)
-
         vx = bx[:, None] * b + ii
         vy = by[:, None] * b + jj
         vz = bz[:, None] * b + kk
+        return ids, vx, vy, vz
+
+    def _world(origin, vx, vy, vz):
         px = origin[0] + vx.astype(jnp.float32) * voxel_size
         py = origin[1] + vy.astype(jnp.float32) * voxel_size
         pz = origin[2] + vz.astype(jnp.float32) * voxel_size
+        return px, py, pz
+
+    if not fuse_color:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fuse_nc(tsdf_bm, weight_bm, bricks, depth_im, K, c2w, origin,
+                    obs_weight):
+            ids, vx, vy, vz = _rows(bricks)
+            t = tsdf_bm.at[ids].get(mode="fill", fill_value=1.0)  # [B, b3]
+            w = weight_bm.at[ids].get(mode="fill", fill_value=0.0)
+            px, py, pz = _world(origin, vx, vy, vz)
+            t2, w2 = _fuse_local_update(
+                t, w, None, px, py, pz, depth_im.reshape(-1, 1), K, c2w,
+                trunc_margin, obs_weight, im_h, im_w, weight_clamp)
+            return (
+                tsdf_bm.at[ids].set(t2, mode="drop", unique_indices=True),
+                weight_bm.at[ids].set(w2, mode="drop", unique_indices=True))
+
+        return fuse_nc
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fuse(tsdf_bm, weight_bm, color_bm, bricks, depth_im, color_im, K,
+             c2w, origin, obs_weight):
+        ids, vx, vy, vz = _rows(bricks)
+        t = tsdf_bm.at[ids].get(mode="fill", fill_value=1.0)   # [B, b3]
+        w = weight_bm.at[ids].get(mode="fill", fill_value=0.0)
+        c = color_bm.at[ids].get(mode="fill", fill_value=0.0)
+        px, py, pz = _world(origin, vx, vy, vz)
 
         if scale_rgb:
             color_im = jnp.floor(color_im * 255.0)

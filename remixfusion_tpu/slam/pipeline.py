@@ -227,10 +227,27 @@ class RemixFusionTPU:
         # harvested-frontier lag (harvest_depth) so the round's keyframe is
         # never evicted before its integrate revisits it
         self._prefetch_depth = int(config["data"].get("prefetch_depth", 3))
+        # Keyframe-only color transport (volume.color_fuse: 'keyframes' |
+        # 'all'): tracking is depth-only and the global grid + keyframe ray
+        # store only ever read keyframe color, so non-keyframe frames ship
+        # just the two depth planes (0.61 vs 1.54 MB at 640x480 — the
+        # upload is the dominant FPS variable on a tunneled link) and fuse
+        # the local volume's tsdf/weight without touching its color. The
+        # reference fuses color every frame (Volume.py:713-757); 'all'
+        # restores that (local-volume mesh color is the only consumer).
+        # Brick mode only — the tiled/slab fallback fusers always take rgb.
+        self._color_fuse = str(config["volume"].get("color_fuse",
+                                                    "keyframes"))
+        kf_every_c = int(config["mapping"]["keyframe_every"])
+        self._frame_needs_color = (
+            (lambda idx: True)
+            if self._color_fuse == "all" or not self.mv.brick
+            else (lambda idx: idx % kf_every_c == 0))
         self._dev_frames = DeviceFramePrefetcher(
             cap=(config["mapping"]["map_every"] + self._harvest_depth + 2
                  + self._prefetch_depth),
-            pool=self._xfer_pool)
+            pool=self._xfer_pool,
+            needs_color=self._frame_needs_color)
 
         self.out_dir = os.path.join(config["data"]["output"],
                                     config["data"]["exp_name"])
@@ -335,29 +352,38 @@ class RemixFusionTPU:
         if not hasattr(self, "_tf_fns"):
             self._tf_fns = {}
 
-        # frame unpacker
+        # frame unpacker (full 5-plane + the depth-only 2-plane wire)
         from remixfusion_tpu.core.frames import pack_frame, unpack_frame
-        jax.block_until_ready(unpack_frame(jax.device_put(pack_frame(
-            np.ones((im_h, im_w), np.float32),
-            np.zeros((im_h, im_w, 3), np.float32)))))
+        packed0 = pack_frame(np.ones((im_h, im_w), np.float32),
+                             np.zeros((im_h, im_w, 3), np.float32))
+        jax.block_until_ready(unpack_frame(jax.device_put(packed0)))
+        jax.block_until_ready(
+            unpack_frame(jax.device_put(packed0[:2]))[0])
 
-        # track + one fuse program per brick bucket (dummy donated volumes)
+        # track + one fuse program per (brick bucket, color) variant the
+        # loop can reach (dummy donated volumes); under keyframe-only color
+        # fusion both the color and the depth-only fuser of each bucket are
+        # reachable
         modes = ([("brick", b) for b in mv.brick_buckets]
                  if mv.brick else ["full"])
+        fcs = ((True, False) if (mv.brick and self._color_fuse != "all")
+               else (True,))
         for mode in modes:
-            key = ("tf", im_h, im_w, mode)
-            if key not in self._tf_fns:
-                self._tf_fns[key] = self._build_track_and_fuse(
-                    im_h, im_w, mode)
-            offsets = (jnp.full((mode[1], 3), -1, jnp.int32)
-                       if isinstance(mode, tuple) else None)
-            res, t2, w2, c2 = self._tf_fns[key](
-                jnp.zeros_like(st.tsdf), jnp.zeros_like(st.weight),
-                jnp.zeros_like(st.color), st.origin, offsets, dep, rgb,
-                self.K_dev, pose, self._next_key(),
-                self.tracker.init_search_size())
-            jax.block_until_ready((res.c2w, t2))
-            del t2, w2, c2
+            for fc in fcs:
+                key = ("tf", im_h, im_w, mode, fc)
+                if key not in self._tf_fns:
+                    self._tf_fns[key] = self._build_track_and_fuse(
+                        im_h, im_w, mode, fuse_color=fc)
+                offsets = (jnp.full((mode[1], 3), -1, jnp.int32)
+                           if isinstance(mode, tuple) else None)
+                res, t2, w2, c2 = self._tf_fns[key](
+                    jnp.zeros_like(st.tsdf), jnp.zeros_like(st.weight),
+                    jnp.zeros_like(st.color), st.origin, offsets, dep,
+                    rgb if fc else None,
+                    self.K_dev, pose, self._next_key(),
+                    self.tracker.init_search_size())
+                jax.block_until_ready((res.c2w, t2))
+                del t2, w2, c2
 
         # re-center shift (identity move; state-preserving). Warms the
         # whole-brick fast path the policy actually takes, plus the dense
@@ -568,12 +594,17 @@ class RemixFusionTPU:
             origin, pose, depth, K, phase, span)
         return jnp.asarray(bricks_np), bucket
 
-    def _build_track_and_fuse(self, im_h, im_w, mode: str):
+    def _build_track_and_fuse(self, im_h, im_w, mode: str, fuse_color=True):
         """Per-frame tracking + fusion as TWO chained async dispatches (the
         fuser consumes the tracked pose device-side, so there is still only
         ONE synchronization — the pose readback). Keeping the track program
         separate from the (brick-bucket-keyed) fuse program means a new
-        bucket only compiles the small fuser, not the whole pipeline."""
+        bucket only compiles the small fuser, not the whole pipeline.
+
+        fuse_color=False (brick mode, non-keyframe frames under
+        volume.color_fuse=keyframes): the step ignores `rgb` (None on the
+        wire — only depth planes were uploaded) and passes the color state
+        through untouched; tsdf/weight updates are bitwise-identical."""
         tracker = self.tracker
         mv = self.mv
         from functools import partial
@@ -625,15 +656,25 @@ class RemixFusionTPU:
                 mv.dims, mv.brick, mode[1],
                 voxel_size=mv.voxel_size, trunc_margin=mv.trunc_margin,
                 im_h=im_h, im_w=im_w, weight_clamp=mv.weight_clamp,
-                scale_rgb=True)  # already jitted, donates the volume
+                scale_rgb=True,  # already jitted, donates the volume
+                fuse_color=fuse_color)
 
-            def step(tsdf, weight, color, origin, offsets, depth, rgb, K,
-                     init_pose, key, ss):
-                res = track(tsdf, origin, init_pose, depth, key, ss)
-                t2, w2, c2 = fuse(tsdf, weight, color, offsets, depth, rgb,
-                                  K, res.c2w, origin,
+            if fuse_color:
+                def step(tsdf, weight, color, origin, offsets, depth, rgb,
+                         K, init_pose, key, ss):
+                    res = track(tsdf, origin, init_pose, depth, key, ss)
+                    t2, w2, c2 = fuse(tsdf, weight, color, offsets, depth,
+                                      rgb, K, res.c2w, origin,
+                                      jnp.asarray(1.0, jnp.float32))
+                    return res, t2, w2, c2
+            else:
+                def step(tsdf, weight, color, origin, offsets, depth, rgb,
+                         K, init_pose, key, ss):
+                    res = track(tsdf, origin, init_pose, depth, key, ss)
+                    t2, w2 = fuse(tsdf, weight, offsets, depth, K,
+                                  res.c2w, origin,
                                   jnp.asarray(1.0, jnp.float32))
-                return res, t2, w2, c2
+                    return res, t2, w2, color
         elif mode == "tiled":
             from remixfusion_tpu.ops.tsdf import make_tiled_fuser
             fuse = make_tiled_fuser(
@@ -796,13 +837,16 @@ class RemixFusionTPU:
             offsets, tiled = self._frame_tiles(init, im_h, im_w,
                                                depth=batch["depth"])
             mode = "tiled" if tiled else "full"
-        key = ("tf", im_h, im_w, mode)
+        fc = self._frame_needs_color(frame_id)
+        key = ("tf", im_h, im_w, mode, fc)
         if not hasattr(self, "_tf_fns"):
             self._tf_fns = {}
         if key not in self._tf_fns:
-            self._tf_fns[key] = self._build_track_and_fuse(im_h, im_w, mode)
+            self._tf_fns[key] = self._build_track_and_fuse(
+                im_h, im_w, mode, fuse_color=fc)
         st = self.mv.state
-        dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch)
+        dep_dev, rgb_dev = self._dev_frames.get(frame_id, batch,
+                                                with_color=fc)
         if _st: _st.stop("t_select"); _st.start("t_dispatch")
         # Init pose from the DEVICE pose chain (in-jit const-speed
         # prediction) — the dispatch depends on no host readback, so the

@@ -92,7 +92,7 @@ def main():
     batch = frames[idx]
     init = slam.predict_current_pose(idx)
     depth = batch["depth"]
-    dep_dev, rgb_dev = slam._dev_frames.get(idx, batch)
+    dep_dev, rgb_dev = slam._dev_frames.get(idx, batch, with_color=True)
     st = slam.mv.state
     pose_dev = jnp.asarray(init)
     ss = slam.tracker.init_search_size()
@@ -112,8 +112,11 @@ def main():
     # --- fuse program per bucket (non-donating copy per rep) ---
     if slam.mv.brick:
         offsets, bucket = slam._frame_bricks(init, depth)
-        key = ("tf", im_h, im_w, ("brick", bucket))
-        fn = slam._tf_fns[key]
+        key = ("tf", im_h, im_w, ("brick", bucket), True)
+        fn = slam._tf_fns.get(key)
+        if fn is None:
+            fn = slam._build_track_and_fuse(im_h, im_w, ("brick", bucket))
+            slam._tf_fns[key] = fn
 
         def tf():
             return fn(st.tsdf.copy(), st.weight.copy(), st.color.copy(),
