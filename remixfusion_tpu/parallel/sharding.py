@@ -157,6 +157,109 @@ def gridsharded_map_train_step(scene, tx, mesh: Mesh, loss_weights):
     return step
 
 
+def sharded_pack_gbq_tm(mesh: Mesh, R: int, tile: int):
+    """shard_map tile-major gbq pack over an x-slab-sharded grid: each chip
+    builds the bf16 oct-packed rows of ITS OWN tiles from its local slab
+    plus a one-plane x halo fetched from the next chip with a single
+    ppermute (the +1 corner reads are the only cross-slab dependency; the
+    last chip's halo is zeros — the exact oct_pack_gbq_tm out-of-grid
+    convention). Because global tile ids are x-major, chip k's tile rows
+    are a contiguous block of the flat tile-major mirror, so the local
+    outputs concatenate directly into the row-sharded [R^3, 32] layout —
+    no all-to-all, no replicated intermediate (jitting the plain
+    oct_pack_gbq_tm under SPMD hits XLA's involuntary-full-remat path on
+    the tile-major transpose, b/433785288, which would briefly materialize
+    the whole mirror on every chip).
+
+    Requires the slab to tile-align: R % D == 0 and (R/D) % tile == 0 —
+    true for the production R=200/t=25 grid on 2/4/8-chip meshes. Output
+    has NO t^3 scratch tail (that tail only serves the single-chip
+    incremental refresher); queries never index past R^3."""
+    D = mesh.size
+    assert R % D == 0 and (R // D) % tile == 0, (R, D, tile)
+    S = R // D
+    t = int(tile)
+
+    def local_pack(gbv_local):  # [S, R, R, 4] on each chip
+        # one-plane x halo from the next chip; last chip receives zeros
+        halo = jax.lax.ppermute(
+            gbv_local[:1].astype(jnp.bfloat16), "data",
+            [(k + 1, k) for k in range(D - 1)])
+        g = jnp.concatenate(
+            [gbv_local.astype(jnp.bfloat16), halo], axis=0)
+        g = jnp.pad(g, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(g[dx:dx + S, dy:dy + R, dz:dz + R])
+        rows = jnp.concatenate(parts, -1)  # [S, R, R, 32]
+        v = rows.reshape(S // t, t, R // t, t, R // t, t, 32)
+        v = v.transpose(0, 2, 4, 1, 3, 5, 6)  # local tile-major
+        return v.reshape(S * R * R, 32)
+
+    return jax.jit(jax.shard_map(
+        local_pack, mesh=mesh,
+        in_specs=P("data", None, None, None),
+        out_specs=P("data", None)))
+
+
+def sharded_fuse_pack_gbq(mesh: Mesh, gbv_resolution: int,
+                          trunc_margin: float, im_h: int, im_w: int):
+    """Sharded keyframe integrate + gbq-mirror pack — the composition piece
+    of the big-scene mode: the dense grid stays slab-sharded, the bf16
+    oct-packed query mirror comes out row-sharded, and NEITHER ever
+    materializes whole on any chip. Chained with
+    gridsharded_map_train_step this is the full online big-scene keyframe
+    path (integrate -> mirror refresh -> map/BA) at 1/D grid memory per
+    chip.
+
+    Two dispatches: the sharded fuse (zero collectives — each chip updates
+    its slab against the replicated frame) and the pack. When the slab
+    tile-aligns ((R/D) % tile == 0 — true for the production R=200/t=25
+    grid at D in {2,4,8}) the pack is the shard_map halo-exchange kernel
+    (sharded_pack_gbq_tm: one ppermute, output [R^3, 32] with no scratch
+    tail); otherwise it falls back to jit-SPMD of the single-chip pack,
+    which is correct but lets XLA replicate the mirror around the
+    tile-major transpose (involuntary-full-remat, b/433785288). Both
+    layouts feed gridsharded_map_train_step directly; parity against the
+    single-device fuse_frame + mapper._pack_gbq pair is bitwise
+    (tests/test_sharding.py).
+
+    Returns fuse_pack(gbv [R,R,R,4] slab-sharded, gbw [R,R,R] slab-sharded,
+    depth, rgb, K, c2w, bound) -> (gbv', gbw', gbq' row-sharded)."""
+    from remixfusion_tpu.ops import tsdf as tsdf_ops
+
+    n_dev = mesh.size
+    repl = NamedSharding(mesh, P())
+    slab4 = NamedSharding(mesh, P("data", None, None, None))
+    slab3 = NamedSharding(mesh, P("data", None, None))
+    rows = NamedSharding(mesh, P("data", None))
+    R = gbv_resolution
+    tile = tsdf_ops.pick_global_tile(R)
+
+    fuse = sharded_fuse_frame(mesh, R, trunc_margin, im_h, im_w)
+
+    if tile is not None and R % n_dev == 0 and (R // n_dev) % tile == 0:
+        pack = sharded_pack_gbq_tm(mesh, R, tile)
+    else:
+        def pack_host(gbv):
+            if tile is None:
+                gbq = tsdf_ops.oct_pack_gbq(gbv)
+            else:
+                gbq = tsdf_ops.oct_pack_gbq_tm(gbv, tile)
+            return pad_rows_for_mesh(gbq, n_dev)
+
+        pack = jax.jit(pack_host, in_shardings=(slab4,),
+                       out_shardings=rows)
+
+    def fuse_pack(gbv, gbw, depth, rgb, K, c2w, bound):
+        gbv2, gbw2 = fuse(gbv, gbw, depth, rgb, K, c2w, bound)
+        return gbv2, gbw2, pack(gbv2)
+
+    return fuse_pack
+
+
 def sharded_fuse_frame(mesh: Mesh, gbv_resolution: int, trunc_margin: float,
                        im_h: int, im_w: int):
     """Build a jitted spatially-sharded global-volume fusion step.

@@ -317,3 +317,95 @@ def test_gridsharded_map_step_matches_single_device(n_dev):
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_fuse_pack_gbq_matches_single_device(n_dev):
+    """The big-scene keyframe composition (sharded_fuse_pack_gbq): sharded
+    integrate + in-program gbq-mirror pack must reproduce the single-device
+    fuse_frame + mapper._pack_gbq pair bitwise — the grid stays
+    slab-sharded, the mirror comes out row-sharded, and chained with
+    gridsharded_map_train_step no full-grid array ever lives on one chip."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    from remixfusion_tpu.mapping.mapper import _pack_gbq
+    from remixfusion_tpu.parallel.sharding import (
+        gridsharded_map_train_step, pad_rows_for_mesh, sharded_fuse_pack_gbq)
+
+    cfg = tiny_config()
+    ds = get_dataset(cfg)
+    R = 48
+    assert R % n_dev == 0
+    trunc = cfg["training"]["c_trunc"]
+    H, W = ds.H, ds.W
+    mesh = make_mesh(n_dev)
+    fuse_pack = sharded_fuse_pack_gbq(mesh, R, trunc, H, W)
+
+    gbv = np.zeros((R, R, R, 4), np.float32)
+    gbv[..., 0] = 1.0
+    gbw = np.zeros((R, R, R), np.float32)
+    gbv_s, gbw_s = jnp.asarray(gbv), jnp.asarray(gbw)
+    gbv_d, gbw_d = jnp.asarray(gbv), jnp.asarray(gbw)
+    K = jnp.asarray(ds.K())
+    bound = jnp.asarray(BOUND)
+    gbq_s = None
+
+    for i in range(1, 3):
+        f = ds[i]
+        dep = jnp.asarray(f["depth"])
+        rgb = jnp.asarray(f["rgb"])
+        c2w = jnp.asarray(np.asarray(f["c2w"], np.float32))
+        gbv_s, gbw_s, gbq_s = fuse_pack(gbv_s, gbw_s, dep, rgb, K, c2w,
+                                        bound)
+        vol = tsdf_ops.VolumeState(tsdf=gbv_d[..., 0], weight=gbw_d,
+                                   color=gbv_d[..., 1:], origin=bound[:, 0])
+        out = tsdf_ops.fuse_frame(
+            vol, dep, rgb, K, c2w, voxel_size=1.0 / R, trunc_margin=trunc,
+            obs_weight=1.0, im_h=H, im_w=W, global_mode=True,
+            scale=bound[:, 1] - bound[:, 0], voxel_size_is_normalized=True)
+        gbv_d = jnp.concatenate([out.tsdf[..., None], out.color], -1)
+        gbw_d = out.weight
+
+    # the live rows (< R^3) are bitwise the single-device pack; the fast
+    # shard_map path carries no scratch tail, the jit-SPMD fallback does
+    gbq_d = _pack_gbq(gbv_d)
+    n_live = R ** 3
+    np.testing.assert_allclose(np.asarray(gbv_s), np.asarray(gbv_d),
+                               atol=1e-5)
+    assert gbq_s.dtype == gbq_d.dtype and gbq_s.shape[0] >= n_live
+    assert np.array_equal(np.asarray(gbq_s[:n_live], np.float32),
+                          np.asarray(gbq_d[:n_live], np.float32))
+
+    # the row-sharded mirror feeds the grid-sharded map step directly
+    (cfg2, scene, params, buffers, rays, rays_o, rays_d,
+     lw, _) = _scene_and_data()
+    if scene.gbv_resolution == R:
+        tx = optax.sgd(1e-2)
+        step_sh = gridsharded_map_train_step(scene, tx, mesh, lw)
+        p2, _, l2 = step_sh(params, tx.init(params), gbq_s,
+                            jnp.asarray(rays), jnp.asarray(rays_o),
+                            jnp.asarray(rays_d), jax.random.PRNGKey(7))
+        assert np.isfinite(float(l2))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_shardmap_pack_gbq_tm_matches_single_device(n_dev):
+    """The shard_map halo-exchange pack (sharded_pack_gbq_tm) must be
+    bitwise oct_pack_gbq_tm's live rows at every mesh size — one ppermute
+    for the +1-corner x halo, no replicated intermediate. R=64/t=8 keeps
+    the slab tile-aligned for 2/4/8 devices."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    from remixfusion_tpu.parallel.sharding import sharded_pack_gbq_tm
+
+    R, t = 64, 8
+    rng = np.random.default_rng(3)
+    gbv = rng.uniform(-1, 1, (R, R, R, 4)).astype(np.float32)
+    mesh = make_mesh(n_dev)
+    pack = sharded_pack_gbq_tm(mesh, R, t)
+    gbq_s = pack(jnp.asarray(gbv))
+    gbq_d = jax.jit(lambda v: tsdf_ops.oct_pack_gbq_tm(v, t))(
+        jnp.asarray(gbv))
+    assert gbq_s.shape == (R ** 3, 32)
+    assert np.array_equal(np.asarray(gbq_s, np.float32),
+                          np.asarray(gbq_d[:R ** 3], np.float32))
