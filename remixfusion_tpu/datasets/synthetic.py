@@ -73,6 +73,14 @@ class SyntheticDataset(BaseDataset):
             if clear_of_orbit(c, float(np.linalg.norm(h))):
                 self.boxes.append((c - h, c + h))
         self.poses = [self._pose(i) for i in range(self.n_frames)]
+        # Optional Kinect-class sensor noise (data.synthetic.sensor_noise:
+        # 1 for defaults, or a dict of utils.noise.add_sensor_noise kwargs)
+        # — applied per frame with a frame-seeded rng, AFTER the disk cache
+        # (clean renders stay cached; gt_sdf/gt_mesh stay exact so the
+        # noise shows up in the metrics, not the ground truth).
+        sn = syn.get("sensor_noise", 0)
+        self.sensor_noise = (dict(sn) if isinstance(sn, dict)
+                             else ({} if sn else None))
         self._cache = {}
 
     def __len__(self):
@@ -226,6 +234,11 @@ class SyntheticDataset(BaseDataset):
                 rgb, depth = self.render(c2w)
                 np.savez_compressed(
                     path, rgb=(rgb * 255).astype(np.uint8), depth=depth)
+            if self.sensor_noise is not None:
+                from remixfusion_tpu.utils.noise import add_sensor_noise
+                depth, rgb = add_sensor_noise(
+                    depth, rgb, np.random.default_rng(1000003 + index),
+                    **self.sensor_noise)
             self._cache[index] = {
                 "frame_id": index,
                 "c2w": c2w,
