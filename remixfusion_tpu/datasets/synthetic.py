@@ -234,6 +234,12 @@ class SyntheticDataset(BaseDataset):
                 rgb, depth = self.render(c2w)
                 np.savez_compressed(
                     path, rgb=(rgb * 255).astype(np.uint8), depth=depth)
+                # serve the u8-quantized color on the FIRST render too, so
+                # results are bitwise-identical whether the disk cache was
+                # warm or cold (a virgin run otherwise sees exact-float
+                # color once and diverges ~0.4 mm in poses from every
+                # later run of the same config)
+                rgb = (rgb * 255).astype(np.uint8).astype(np.float32) / 255.0
             if self.sensor_noise is not None:
                 from remixfusion_tpu.utils.noise import add_sensor_noise
                 depth, rgb = add_sensor_noise(

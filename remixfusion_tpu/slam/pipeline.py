@@ -352,6 +352,18 @@ class RemixFusionTPU:
         if not hasattr(self, "_tf_fns"):
             self._tf_fns = {}
 
+        # Prewarm keys come from a DEDICATED stream (xored seed) so the
+        # run's PRNG trajectory does not depend on how many program
+        # variants prewarm compiles — otherwise every prewarm-set change
+        # silently reshuffles vertex perturbations and ray draws, making
+        # ATE incomparable across configs and rounds.
+        pw_counter = [0]
+
+        def pw_key():
+            pw_counter[0] += 1
+            return np.asarray(
+                [self._seed ^ 0x9E3779B9, pw_counter[0]], np.uint32)
+
         # frame unpacker (full 5-plane + the depth-only 2-plane wire)
         from remixfusion_tpu.core.frames import pack_frame, unpack_frame
         packed0 = pack_frame(np.ones((im_h, im_w), np.float32),
@@ -380,7 +392,7 @@ class RemixFusionTPU:
                     jnp.zeros_like(st.tsdf), jnp.zeros_like(st.weight),
                     jnp.zeros_like(st.color), st.origin, offsets, dep,
                     rgb if fc else None,
-                    self.K_dev, pose, self._next_key(),
+                    self.K_dev, pose, pw_key(),
                     self.tracker.init_search_size())
                 jax.block_until_ready((res.c2w, t2))
                 del t2, w2, c2
@@ -469,14 +481,14 @@ class RemixFusionTPU:
             snap = copy(self.mapper.map_opt_state)
             self.mapper.map_step_dev(
                 copy(self.params), self.buffers, self.kfdb, 1,
-                self.dirs_dev, dep, rgb, kf_poses, 0, self._next_key(),
+                self.dirs_dev, dep, rgb, kf_poses, 0, pw_key(),
                 m["iters"], b)
             self.mapper.map_opt_state = snap
             if m["opt_pose"]:
                 snap = copy(self.mapper.rba_opt_state)
                 self.mapper.ba_step_dev(
                     copy(self.params), self.buffers, self.kfdb, 1,
-                    self.dirs_dev, dep, rgb, 0, self._next_key(),
+                    self.dirs_dev, dep, rgb, 0, pw_key(),
                     m["BA_iters"], b)
                 self.mapper.rba_opt_state = snap
         jax.block_until_ready(jax.tree_util.tree_leaves(self.params)[0])
