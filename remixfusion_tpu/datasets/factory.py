@@ -9,7 +9,9 @@ from __future__ import annotations
 
 
 def get_dataset(config):
-    name = config["dataset"].lower()
+    # normalize the reference's mixed-case names ('Fast_syn', 'BS3D',
+    # 'Largeindoor' — /root/reference/datasets/dataset.py:12-47)
+    name = config["dataset"].lower().replace("_", "")
     if name == "synthetic":
         from remixfusion_tpu.datasets.synthetic import SyntheticDataset
         return SyntheticDataset(config)

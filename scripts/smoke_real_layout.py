@@ -151,6 +151,99 @@ def write_scannet_dataset(out_dir: str, n_frames: int):
     return ds
 
 
+def write_fastsyn_dataset(out_dir: str, n_frames: int):
+    """color/*.png + depth/*.png + traj.txt flat 4x4 rows — the FastCaMo-
+    synth organized layout (FastsynDataset branch 1, loaders.py:141-165)."""
+    import cv2
+
+    ds = _synthetic_frames(n_frames)
+    for sub in ("color", "depth"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    rows = []
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i}.png"),
+                    rgb8[..., ::-1])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i}.png"), d16)
+        c2w = np.asarray(f["c2w"], np.float64)
+        rows.append(" ".join(f"{v:.8f}" for v in c2w.reshape(-1)))
+    with open(os.path.join(out_dir, "traj.txt"), "w") as fh:
+        fh.write("\n".join(rows))
+    return ds
+
+
+def write_azure_dataset(out_dir: str, n_frames: int):
+    """color/%06d.jpg + depth/%06d.png + pose/%06d.txt — the organized
+    Azure/RGB/Realsense layout (AzureDataset, loaders.py:217-241; plain
+    lexicographic sort, hence zero-padded names)."""
+    import cv2
+
+    ds = _synthetic_frames(n_frames)
+    for sub in ("color", "depth", "pose"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i:06d}.jpg"),
+                    rgb8[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i:06d}.png"), d16)
+        np.savetxt(os.path.join(out_dir, "pose", f"{i:06d}.txt"),
+                   np.asarray(f["c2w"], np.float64))
+    return ds
+
+
+def write_largeindoor_dataset(out_dir: str, n_frames: int):
+    """color/*.png + depth/*.png + pose/%d.txt (LargeindoorDataset,
+    loaders.py:244-262)."""
+    import cv2
+
+    ds = _synthetic_frames(n_frames)
+    for sub in ("color", "depth", "pose"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "color", f"{i}.png"),
+                    rgb8[..., ::-1])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i}.png"), d16)
+        np.savetxt(os.path.join(out_dir, "pose", f"{i}.txt"),
+                   np.asarray(f["c2w"], np.float64))
+    return ds
+
+
+def write_iphone_dataset(out_dir: str, n_frames: int):
+    """images/*.png + depth/*.png + odometry.csv with header and
+    (ts, frame, x, y, z, qx, qy, qz, qw) rows (IPhoneDataset,
+    loaders.py:265-284)."""
+    import cv2
+
+    from remixfusion_tpu.core.pose import matrix_to_quat
+
+    ds = _synthetic_frames(n_frames)
+    for sub in ("images", "depth"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    rows = ["timestamp,frame,x,y,z,qx,qy,qz,qw"]
+    for i in range(n_frames):
+        f = ds[i]
+        rgb8 = (np.clip(np.asarray(f["rgb"]), 0, 1) * 255).astype(np.uint8)
+        d16 = (np.asarray(f["depth"]) * 1000.0).astype(np.uint16)
+        cv2.imwrite(os.path.join(out_dir, "images", f"{i:06d}.png"),
+                    rgb8[..., ::-1])
+        cv2.imwrite(os.path.join(out_dir, "depth", f"{i:06d}.png"), d16)
+        c2w = np.asarray(f["c2w"], np.float64)
+        q = np.asarray(matrix_to_quat(c2w[:3, :3].astype(np.float32)))
+        tx, ty, tz = c2w[:3, 3]
+        rows.append(f"{i / 30.0:.6f},{i},{tx:.6f},{ty:.6f},{tz:.6f},"
+                    f"{q[1]:.6f},{q[2]:.6f},{q[3]:.6f},{q[0]:.6f}")
+    with open(os.path.join(out_dir, "odometry.csv"), "w") as fh:
+        fh.write("\n".join(rows))
+    return ds
+
+
 def main():
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     layout = sys.argv[2] if len(sys.argv) > 2 else "tum"
@@ -172,6 +265,33 @@ def main():
     elif layout == "scannet":
         write_scannet_dataset(data_dir, n_frames)
         cfg = load_config("configs/ScanNet/scannet.yaml")
+        scale = 1000.0
+    elif layout == "fastsyn":
+        write_fastsyn_dataset(data_dir, n_frames)
+        cfg = load_config("configs/Fast_syn/Fast_syn.yaml")
+        scale = 1000.0
+    elif layout == "uhumans":
+        # uHumans2 consumes the BS3D organized layout after preprocessing
+        # (UhumansDataset subclasses BS3DDataset with zero code delta)
+        write_bs3d_dataset(data_dir, n_frames)
+        cfg = load_config("configs/uhumans/uhumans.yaml")
+        scale = 1000.0
+    elif layout in ("azure", "rgbd", "realsense"):
+        # one organized layout drives three loader classes
+        write_azure_dataset(data_dir, n_frames)
+        cfg = load_config("configs/BS3D/BS3D.yaml")
+        cfg["dataset"] = {"azure": "azure", "rgbd": "rgb",
+                          "realsense": "realsense"}[layout]
+        scale = 1000.0
+    elif layout == "largeindoor":
+        write_largeindoor_dataset(data_dir, n_frames)
+        cfg = load_config("configs/BS3D/BS3D.yaml")
+        cfg["dataset"] = "largeindoor"
+        scale = 1000.0
+    elif layout == "iphone":
+        write_iphone_dataset(data_dir, n_frames)
+        cfg = load_config("configs/BS3D/BS3D.yaml")
+        cfg["dataset"] = "iphone"
         scale = 1000.0
     else:
         write_bs3d_dataset(data_dir, n_frames)

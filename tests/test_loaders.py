@@ -185,3 +185,40 @@ def test_preprocess_association(tmp_path):
     rows = np.loadtxt(out)
     assert rows.shape == (4, 8)
     assert abs(rows[2, 1] - 0.2) < 1e-6
+
+
+def test_factory_accepts_reference_config_names(tmp_path):
+    """The reference's configs use mixed-case dataset names ('Fast_syn',
+    'BS3D', 'Largeindoor' — /root/reference/datasets/dataset.py:12-47);
+    the factory must normalize them (a 'Fast_syn' config previously raised
+    ValueError because lower() keeps the underscore)."""
+    from remixfusion_tpu.datasets.loaders import (BS3DDataset,
+                                                  FastsynDataset,
+                                                  LargeindoorDataset)
+
+    d = tmp_path / "fs"
+    (d / "color").mkdir(parents=True)
+    (d / "depth").mkdir()
+    rows = []
+    for i in range(2):
+        write_frame(str(d / "color" / f"{i}.png"),
+                    str(d / "depth" / f"{i}.png"), seed=i)
+        rows.append(" ".join(str(v) for v in np.eye(4).reshape(-1)))
+    (d / "traj.txt").write_text("\n".join(rows))
+    cfg = tiny_config(dataset="Fast_syn", data={"datadir": str(d)},
+                      **cam_cfg())
+    ds = get_dataset(cfg)
+    assert isinstance(ds, FastsynDataset)
+    check_dataset(ds, 2)
+
+    # the other mixed-case reference names resolve to the right classes
+    (d / "pose").mkdir()
+    for i in range(2):
+        np.savetxt(d / "pose" / f"{i}.txt", np.eye(4))
+    cfg = tiny_config(dataset="Largeindoor", data={"datadir": str(d)},
+                      **cam_cfg())
+    assert isinstance(get_dataset(cfg), LargeindoorDataset)
+    (d / "poses.txt").write_text(
+        "\n".join(f"{i} 0 0 0 0 0 0 1" for i in range(2)))
+    cfg = tiny_config(dataset="BS3D", data={"datadir": str(d)}, **cam_cfg())
+    assert isinstance(get_dataset(cfg), BS3DDataset)
