@@ -147,3 +147,40 @@ def test_pipeline_color_fuse_parity(tmp_path):
                           np.asarray(s_kf.mv.state.tsdf))
     assert np.array_equal(np.asarray(s_all.mv.state.weight),
                           np.asarray(s_kf.mv.state.weight))
+
+
+def test_prewarm_does_not_shift_run_stream(tmp_path):
+    """prewarm draws from a dedicated key stream, so a prewarmed run must
+    produce exactly the trajectory of a non-prewarmed run (before the fix,
+    every prewarm-variant-set change silently reshuffled the run's PRNG
+    draws, making ATE incomparable across configs and rounds)."""
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    def run(name, prewarm):
+        cfg = tiny_config(
+            data={"output": str(tmp_path), "exp_name": name,
+                  "synthetic": {"n_frames": 6, "orbit_degrees": 15.0}},
+            RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1],
+                "init_size": 0.02, "count_search": 100},
+            volume={"voxel_size": 0.025},
+            mapping={"first_iters": 6, "iters": 1, "BA_iters": 1,
+                     "keyframe_every": 2, "map_every": 2, "sample": 128},
+            mesh={"vis": 0, "only_final": 1},
+        )
+        slam = RemixFusionTPU(cfg)
+        slam.first_frame_mapping()
+        if prewarm:
+            slam.prewarm()
+        for idx in range(1, 6):
+            slam.track_frame(idx, slam.dataset[idx])
+            while slam.tracking_idx > slam.mapping_idx + 2:
+                cur = slam.mapping_idx + 2
+                if cur >= 6:
+                    break
+                slam.mapping_round(cur)
+        slam._harvest_pending_track()
+        return slam.est_c2w_data
+
+    a = run("pw_on", True)
+    b = run("pw_off", False)
+    assert np.array_equal(a, b)
