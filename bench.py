@@ -24,14 +24,44 @@ from remixfusion_tpu.utils.runtime import setup_compilation_cache
 setup_compilation_cache()
 
 
-def probe_tunnel():
+def probe_tunnel(wait: bool = False):
     """2-second link-health probe: dispatch RTT (chained scalar ops, each
     forced through a data dependency — block_until_ready on independent
     dispatches does not await them on the tunneled backend) and the upload
     wall of one packed 640x480 frame. Printed with every run because the
     tunnel's bandwidth/latency vary by multiples run-to-run (measured
     7-110 MB/s within one hour), which is the dominant source of FPS
-    spread on identical code."""
+    spread on identical code.
+
+    wait=True (the pre-run probe): run the probe on a helper thread and
+    give a stalled tunnel a bounded recovery window (BENCH_LINK_WAIT
+    seconds, default 360) before the measured section starts — a full
+    outage was observed where even a cached trivial dispatch blocked
+    >9 minutes and then recovered; without the wait, a bench launched
+    into that window times out with nothing to show."""
+    if wait:
+        import threading
+        done = threading.Event()
+
+        def _probe():
+            try:
+                probe_tunnel(wait=False)
+            finally:
+                done.set()
+
+        t0 = time.time()
+        threading.Thread(target=_probe, daemon=True).start()
+        limit = float(os.environ.get("BENCH_LINK_WAIT", "360"))
+        while not done.wait(30):
+            waited = time.time() - t0
+            if waited >= limit:
+                print(f"# WARNING: tunnel probe still blocked after "
+                      f"{waited:.0f}s — link stalled; proceeding, numbers "
+                      f"will reflect link state", file=sys.stderr)
+                return
+            print(f"# tunnel probe blocked {waited:.0f}s — waiting for "
+                  f"link recovery", file=sys.stderr)
+        return
     import jax
     import jax.numpy as jnp
     f = jax.jit(lambda c: c + 1.0)
@@ -79,7 +109,7 @@ def main():
     from remixfusion_tpu.config import load_config
     from remixfusion_tpu.slam import RemixFusionTPU
 
-    probe_tunnel()
+    probe_tunnel(wait=True)
 
     # 200 frames (170 steady) halves the run-to-run spread of the shorter
     # 120-frame window (tunnel/queue jitter is ±1.5 FPS on 90 frames); the
