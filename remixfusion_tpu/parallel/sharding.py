@@ -260,6 +260,123 @@ def sharded_fuse_pack_gbq(mesh: Mesh, gbv_resolution: int,
     return fuse_pack
 
 
+def partition_tiles_by_device(offs: np.ndarray, R: int, tile: int,
+                              n_dev: int, budget: int) -> np.ndarray:
+    """Host-side: split a changed-tile set (voxel offsets, multiples of
+    `tile`, e.g. from tsdf.dilate_tiles) into per-device groups for
+    make_sharded_gbq_refresher. Tile ownership follows the x-slab row
+    sharding (device = x-tile index // (T/n_dev)). Every padded slot
+    repeats the device's first owned tile (or the slab's tile 0 when the
+    device has no changed tiles) — refreshing a tile twice is idempotent
+    (the refresher recomputes rows from gbv_tm), so no scratch rows are
+    needed anywhere. Returns int32 [n_dev, budget, 3]."""
+    t = int(tile)
+    T = R // t
+    txd = T // n_dev
+    out = np.zeros((n_dev, budget, 3), np.int32)
+    for k in range(n_dev):
+        out[k, :, 0] = k * txd * t  # slab tile 0: benign idempotent rewrite
+    if len(offs):
+        dev = (offs[:, 0] // t) // txd
+        for k in range(n_dev):
+            grp = offs[dev == k]
+            if len(grp) > budget:
+                raise ValueError(
+                    f"device {k} has {len(grp)} changed tiles > budget "
+                    f"{budget}")
+            if len(grp):
+                out[k, :len(grp)] = grp
+                out[k, len(grp):] = grp[0]  # idempotent pad
+    return out
+
+
+def make_sharded_gbq_refresher(mesh: Mesh, R: int, tile: int, budget: int):
+    """Incremental gbq-mirror refresh at 1/D grid memory per chip — the
+    sharded counterpart of tsdf.make_gbq_refresher, completing the
+    big-scene keyframe path (sharded integrate -> THIS -> grid-sharded
+    map/BA) without ever paying the full mirror pack per keyframe.
+
+    shard_map design: gbq rows and gbv_tm tiles are x-slab row-sharded
+    (tile ids are x-major, so each chip's tiles form one contiguous row
+    block); +y/+z tile neighbors stay inside the owning slab and only the
+    +x neighbor can cross, by exactly one tile plane — fetched with a
+    single ppermute of the next chip's first x-tile plane ([T^2, t^3, 4];
+    the last chip receives zeros, matching the out-of-grid zero-corner
+    convention). Each chip then runs the single-device refresh math on
+    its local block: gather tile + 7 neighbors from the halo-extended
+    local gbv_tm, stitch the (t+1)^3 extended tile, slice the 8 corners,
+    and write the t^3-row blocks in place with a dynamic_update_slice
+    loop. There is NO scratch tail: partition_tiles_by_device pads with
+    owned tiles, whose re-refresh is an idempotent rewrite.
+
+    Requires T = R/tile divisible by the mesh size (true for the
+    production R=200/t=25 grid at 2/4/8 chips). gbq layout is the
+    sharded [R^3, 32] (sharded_fuse_pack_gbq's output — no scratch
+    tail). Returns refresh(gbq row-sharded DONATED, gbv_tm row-sharded,
+    offsets [D, budget, 3] from partition_tiles_by_device) -> gbq'."""
+    D = mesh.size
+    t = int(tile)
+    T = R // t
+    assert T % D == 0, (R, tile, D)
+    txd = T // D
+    ntd = txd * T * T   # tiles per device
+    t3 = t ** 3
+    halo_n = T * T      # one x-tile plane
+
+    def local_refresh(gbq_l, gbv_l, offs_l):
+        # gbq_l [ntd*t3, 32] bf16, gbv_l [ntd, t3, 4], offs_l [1, B, 3]
+        k = jax.lax.axis_index("data")
+        offs = offs_l[0]
+        B = offs.shape[0]
+        halo = jax.lax.ppermute(
+            gbv_l[:halo_n], "data", [(i + 1, i) for i in range(D - 1)])
+        ext = jnp.concatenate([gbv_l, halo], axis=0)  # [ntd + T^2, t3, 4]
+
+        o = offs // t                                   # global tile coords
+        tid_g = (o[:, 0] * T + o[:, 1]) * T + o[:, 2]
+        tid_l = tid_g - k * ntd                         # owned: [0, ntd)
+
+        def nbr(sx, sy, sz):
+            ok = ((o[:, 0] + sx < T) & (o[:, 1] + sy < T)
+                  & (o[:, 2] + sz < T))
+            nid = tid_l + (sx * T + sy) * T + sz  # +x may land in halo
+            nid = jnp.where(ok, nid, ntd + halo_n)  # OOG -> dropped gather
+            v = ext.at[nid].get(mode="fill", fill_value=0.0)
+            return v.astype(jnp.bfloat16).reshape(B, t, t, t, 4)
+
+        def cz(a, b):
+            return jnp.concatenate([a, b[:, :, :, :1]], axis=3)
+
+        def cy(a, b):
+            return jnp.concatenate([a, b[:, :, :1]], axis=2)
+
+        def cx(a, b):
+            return jnp.concatenate([a, b[:, :1]], axis=1)
+
+        E = cx(cy(cz(nbr(0, 0, 0), nbr(0, 0, 1)),
+                  cz(nbr(0, 1, 0), nbr(0, 1, 1))),
+               cy(cz(nbr(1, 0, 0), nbr(1, 0, 1)),
+                  cz(nbr(1, 1, 0), nbr(1, 1, 1))))
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(E[:, dx:dx + t, dy:dy + t, dz:dz + t])
+        rows = jnp.concatenate(parts, -1).reshape(B, t3, 32)
+        starts = (tid_l * t3).astype(jnp.int32)  # all owned -> in-range
+
+        def body(i, g):
+            return jax.lax.dynamic_update_slice(g, rows[i], (starts[i], 0))
+
+        return jax.lax.fori_loop(0, B, body, gbq_l)
+
+    return jax.jit(jax.shard_map(
+        local_refresh, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None),
+                  P("data", None, None)),
+        out_specs=P("data", None)), donate_argnums=(0,))
+
+
 def sharded_fuse_frame(mesh: Mesh, gbv_resolution: int, trunc_margin: float,
                        im_h: int, im_w: int):
     """Build a jitted spatially-sharded global-volume fusion step.

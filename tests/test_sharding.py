@@ -409,3 +409,64 @@ def test_shardmap_pack_gbq_tm_matches_single_device(n_dev):
     assert gbq_s.shape == (R ** 3, 32)
     assert np.array_equal(np.asarray(gbq_s, np.float32),
                           np.asarray(gbq_d[:R ** 3], np.float32))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_gbq_refresher_matches_single_device(n_dev):
+    """The sharded incremental gbq refresher (shard_map: ppermute x-halo +
+    per-device DUS blocks, parallel.make_sharded_gbq_refresher) must
+    reproduce the single-device tsdf.make_gbq_refresher bitwise on the
+    live rows — the big-scene path's per-keyframe mirror update at 1/D
+    grid memory with no full repack."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip("not enough virtual devices")
+    from remixfusion_tpu.parallel.sharding import (
+        make_sharded_gbq_refresher, partition_tiles_by_device)
+
+    R, t = 64, 8
+    T = R // t
+    NT = T ** 3
+    t3 = t ** 3
+    rng = np.random.default_rng(5)
+    gbv = rng.uniform(-1, 1, (R, R, R, 4)).astype(np.float32)
+    to_tm, _ = tsdf_ops.tile_major_view(R, t)
+    gbv_tm = np.asarray(jax.jit(to_tm)(jnp.asarray(gbv))).reshape(
+        NT, t3, 4)
+    gbq0 = np.asarray(jax.jit(
+        lambda v: tsdf_ops.oct_pack_gbq_tm(v, t))(jnp.asarray(gbv)))
+
+    # mutate a scattered set of tiles in gbv_tm, then refresh the dilated
+    # changed set (the exact production call pattern)
+    changed = np.unique(rng.integers(0, T, (9, 3)), axis=0).astype(np.int32)
+    gbv_tm2 = gbv_tm.copy()
+    for (tx, ty, tz) in changed:
+        tid = (tx * T + ty) * T + tz
+        gbv_tm2[tid] = rng.uniform(-1, 1, (t3, 4)).astype(np.float32)
+    dil = tsdf_ops.dilate_tiles(changed * t, t)
+
+    # single-device reference: scratch-tail layout, -1 padding
+    budget = len(dil) + 3
+    refr_1d = tsdf_ops.make_gbq_refresher(R, t, budget)
+    offs_1d = np.full((budget, 3), -1, np.int32)
+    offs_1d[:len(dil)] = dil
+    gbq_ref = np.asarray(refr_1d(jnp.asarray(gbq0),
+                                 jnp.asarray(gbv_tm2),
+                                 jnp.asarray(offs_1d)))
+
+    # sharded: per-device groups with idempotent owned-tile padding
+    mesh = make_mesh(n_dev)
+    refr_sh = make_sharded_gbq_refresher(mesh, R, t, budget)
+    groups = partition_tiles_by_device(dil, R, t, n_dev, budget)
+    gbq_sh = np.asarray(refr_sh(jnp.asarray(gbq0[:R ** 3]),
+                                jnp.asarray(gbv_tm2),
+                                jnp.asarray(groups)))
+    assert gbq_sh.shape == (R ** 3, 32)
+    assert np.array_equal(gbq_sh.astype(np.float32),
+                          gbq_ref[:R ** 3].astype(np.float32))
+    # and the refreshed mirror equals a from-scratch full pack
+    gbv2 = np.asarray(gbv_tm2).reshape(T, T, T, t, t, t, 4).transpose(
+        0, 3, 1, 4, 2, 5, 6).reshape(R, R, R, 4)
+    gbq_full = np.asarray(jax.jit(
+        lambda v: tsdf_ops.oct_pack_gbq_tm(v, t))(jnp.asarray(gbv2)))
+    assert np.array_equal(gbq_sh.astype(np.float32),
+                          gbq_full[:R ** 3].astype(np.float32))
