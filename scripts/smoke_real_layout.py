@@ -11,7 +11,8 @@ takes (directory parsing, association, PNG/JPEG decoding, depth scaling,
 quaternion/matrix pose parsing) — and checks the final ATE against the
 ground-truth poses it wrote.
 
-Usage: python scripts/smoke_real_layout.py [n_frames] [tum|bs3d|replica|scannet]
+Usage: python scripts/smoke_real_layout.py [n_frames] [tum|bs3d|replica|
+    scannet|fastsyn|uhumans|azure|rgbd|realsense|largeindoor|iphone]
 """
 
 import os
