@@ -42,10 +42,13 @@ def probe_tunnel(wait: bool = False):
     if wait:
         import threading
         done = threading.Event()
+        err = []
 
         def _probe():
             try:
                 probe_tunnel(wait=False)
+            except BaseException as e:  # surface, don't mask as healthy
+                err.append(e)
             finally:
                 done.set()
 
@@ -61,6 +64,8 @@ def probe_tunnel(wait: bool = False):
                 return
             print(f"# tunnel probe blocked {waited:.0f}s — waiting for "
                   f"link recovery", file=sys.stderr)
+        if err:
+            raise err[0]  # a crashed probe must abort like the sync path
         return
     import jax
     import jax.numpy as jnp

@@ -231,9 +231,7 @@ def sharded_fuse_pack_gbq(mesh: Mesh, gbv_resolution: int,
     from remixfusion_tpu.ops import tsdf as tsdf_ops
 
     n_dev = mesh.size
-    repl = NamedSharding(mesh, P())
     slab4 = NamedSharding(mesh, P("data", None, None, None))
-    slab3 = NamedSharding(mesh, P("data", None, None))
     rows = NamedSharding(mesh, P("data", None))
     R = gbv_resolution
     tile = tsdf_ops.pick_global_tile(R)
@@ -272,6 +270,7 @@ def partition_tiles_by_device(offs: np.ndarray, R: int, tile: int,
     needed anywhere. Returns int32 [n_dev, budget, 3]."""
     t = int(tile)
     T = R // t
+    assert T % n_dev == 0, (R, tile, n_dev)  # else tiles would be dropped
     txd = T // n_dev
     out = np.zeros((n_dev, budget, 3), np.int32)
     for k in range(n_dev):

@@ -238,6 +238,10 @@ class RemixFusionTPU:
         # Brick mode only — the tiled/slab fallback fusers always take rgb.
         self._color_fuse = str(config["volume"].get("color_fuse",
                                                     "keyframes"))
+        if self._color_fuse not in ("keyframes", "all"):
+            raise ValueError(
+                f"volume.color_fuse must be 'keyframes' or 'all', got "
+                f"{self._color_fuse!r}")
         kf_every_c = int(config["mapping"]["keyframe_every"])
         self._frame_needs_color = (
             (lambda idx: True)

@@ -66,7 +66,12 @@ def add_sensor_noise(depth: np.ndarray, rgb: np.ndarray,
     gx = np.abs(np.diff(depth, axis=1, append=depth[:, -1:]))
     gy = np.abs(np.diff(depth, axis=0, append=depth[-1:, :]))
     edge = (gx > edge_thresh) | (gy > edge_thresh)
-    edge |= np.roll(edge, 1, axis=1) | np.roll(edge, 1, axis=0)
+    # widen to both sides of the discontinuity (non-wrapping shifts — a
+    # roll would carry border flags to the opposite image edge)
+    grow = edge.copy()
+    grow[:, 1:] |= edge[:, :-1]
+    grow[1:, :] |= edge[:-1, :]
+    edge = grow
     drop = edge & (rng.uniform(size=depth.shape) < edge_dropout)
     drop |= rng.uniform(size=depth.shape) < hole_rate
 
