@@ -294,6 +294,13 @@ def main():
             {float(i): poses[i] for i in range(n_frames)})
         ate = stats["rmse"] * 100
         print(f"# ate_rmse_cm={ate:.3f}", file=sys.stderr)
+        # Diagnostic: raw tracking poses (pre-BA, no keyframe-relative
+        # composition) — separates tracking drift from BA refinement.
+        ro_stats = evaluate_ate(
+            {float(i): gt[i] for i in range(n_frames)},
+            {float(i): slam.RO_c2w_data[i] for i in range(n_frames)})
+        print(f"# ate_rmse_cm_ro_only={ro_stats['rmse'] * 100:.3f}",
+              file=sys.stderr)
     except Exception as e:
         print(f"# ate eval failed: {e}", file=sys.stderr)
 
