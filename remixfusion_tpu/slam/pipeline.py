@@ -281,8 +281,16 @@ class RemixFusionTPU:
     # --------------------------------------------------------------- setup
 
     def update_cam(self):
-        """Intrinsics rescale/crop bookkeeping (reference run.py:62-84)."""
+        """Intrinsics rescale/crop bookkeeping (reference run.py:62-84).
+
+        Idempotent: the mutated config (fx/fy/cx/cy scaled, H/W cropped) is
+        dumped to the run's config.json, so a config that has already been
+        through update_cam — a resume from the dumped file, or a second
+        pipeline built from the same dict — must not be rescaled again."""
         cfg = self.config["cam"]
+        if cfg.get("_cam_updated"):
+            return
+        cfg["_cam_updated"] = True
         if "crop_size" in cfg:
             crop = cfg["crop_size"]
             sx = (crop[1] + cfg["crop_edge"] * 2) / cfg["W"]
@@ -380,8 +388,14 @@ class RemixFusionTPU:
         # loop can reach (dummy donated volumes); under keyframe-only color
         # fusion both the color and the depth-only fuser of each bucket are
         # reachable
-        modes = ([("brick", b) for b in mv.brick_buckets]
-                 if mv.brick else ["full"])
+        if mv.brick:
+            modes = [("brick", b) for b in mv.brick_buckets]
+        elif mv.tile:
+            # non-brick tiled volumes alternate between 'tiled' and the
+            # 'full' fallback (selection overflow) — compile both
+            modes = ["tiled", "full"]
+        else:
+            modes = ["full"]
         fcs = ((True, False) if (mv.brick and self._color_fuse != "all")
                else (True,))
         for mode in modes:
@@ -390,8 +404,12 @@ class RemixFusionTPU:
                 if key not in self._tf_fns:
                     self._tf_fns[key] = self._build_track_and_fuse(
                         im_h, im_w, mode, fuse_color=fc)
-                offsets = (jnp.full((mode[1], 3), -1, jnp.int32)
-                           if isinstance(mode, tuple) else None)
+                if isinstance(mode, tuple):
+                    offsets = jnp.full((mode[1], 3), -1, jnp.int32)
+                elif mode == "tiled":
+                    offsets = jnp.full((mv.tile_budget, 3), -1, jnp.int32)
+                else:
+                    offsets = None
                 res, t2, w2, c2 = self._tf_fns[key](
                     jnp.zeros_like(st.tsdf), jnp.zeros_like(st.weight),
                     jnp.zeros_like(st.color), st.origin, offsets, dep,
@@ -548,20 +566,22 @@ class RemixFusionTPU:
         self.kfdb.add_keyframe(
             0, dep_dev, rgb_dev, self.dirs_dev, self._next_key(),
             filter_depth=self.config["mapping"]["filter_depth"])
-        return float(np.asarray(losses)[-1])
+        # first_iters < 1 runs no warmup step and leaves losses undefined
+        return (float(np.asarray(losses)[-1]) if done else float("nan"))
 
     # ----------------------------------------------------------- tracking
 
-    def predict_current_pose(self, frame_id: int) -> np.ndarray:
-        """(reference tracker.py:54-72). Pure NumPy — pose bookkeeping stays
-        on the host so tracking costs exactly one device round-trip/frame."""
-        const_speed = self.config["tracking"]["const_speed"]
-        if frame_id == 1 or not const_speed:
-            return self.est_c2w_data[frame_id - 1].copy()
-        prev = self.RO_c2w_data[frame_id - 1].astype(np.float64)
-        prev_prev = self.RO_c2w_data[frame_id - 2].astype(np.float64)
-        delta = prev @ np.linalg.inv(prev_prev)
-        pred = delta @ prev
+    @staticmethod
+    def _const_speed_np(prev: np.ndarray, prev_prev: np.ndarray,
+                        steps: int = 1) -> np.ndarray:
+        """Const-speed extrapolation `delta^steps @ prev` with SVD
+        re-orthogonalization (reference tracker.py:54-72) — the single
+        host-side implementation behind both predict_current_pose (the
+        synchronous reference-parity API) and _host_pose_estimate (the
+        harvested-frontier extrapolation)."""
+        prev = prev.astype(np.float64)
+        delta = prev @ np.linalg.inv(prev_prev.astype(np.float64))
+        pred = np.linalg.matrix_power(delta, steps) @ prev
         U, _, Vt = np.linalg.svd(pred[:3, :3])
         S = np.eye(3)
         S[2, 2] = np.sign(np.linalg.det(U @ Vt))
@@ -569,6 +589,15 @@ class RemixFusionTPU:
         out[:3, :3] = (U @ S @ Vt).astype(np.float32)
         out[:3, 3] = pred[:3, 3].astype(np.float32)
         return out
+
+    def predict_current_pose(self, frame_id: int) -> np.ndarray:
+        """(reference tracker.py:54-72). Pure NumPy — pose bookkeeping stays
+        on the host so tracking costs exactly one device round-trip/frame."""
+        const_speed = self.config["tracking"]["const_speed"]
+        if frame_id == 1 or not const_speed:
+            return self.est_c2w_data[frame_id - 1].copy()
+        return self._const_speed_np(self.RO_c2w_data[frame_id - 1],
+                                    self.RO_c2w_data[frame_id - 2])
 
     def _frame_tiles(self, pose, im_h, im_w, depth=None):
         """Host-side frustum tile selection for the fused track+integrate
@@ -791,17 +820,7 @@ class RemixFusionTPU:
         if len(lh) < 2 or not self.config["tracking"]["const_speed"]:
             return lh[-1][1].copy()
         (i2, p2), (i1, p1) = lh[0], lh[1]
-        p1 = p1.astype(np.float64)
-        delta = p1 @ np.linalg.inv(p2.astype(np.float64))
-        steps = max(frame_id - i1, 0)
-        pred = np.linalg.matrix_power(delta, steps) @ p1
-        U, _, Vt = np.linalg.svd(pred[:3, :3])
-        S = np.eye(3)
-        S[2, 2] = np.sign(np.linalg.det(U @ Vt))
-        out = np.eye(4, dtype=np.float32)
-        out[:3, :3] = (U @ S @ Vt).astype(np.float32)
-        out[:3, 3] = pred[:3, 3].astype(np.float32)
-        return out
+        return self._const_speed_np(p1, p2, steps=max(frame_id - i1, 0))
 
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
@@ -837,10 +856,16 @@ class RemixFusionTPU:
                 self.stats.setdefault("sel_reused", []).append(1)
             else:
                 self._lookahead_sel = None
+                sel = None
                 if (la is not None and la[0] == frame_id
                         and np.array_equal(la[1], self.mv.vol_bnds[:, 0])):
-                    offsets, bucket = la[2].result()  # already device-staged
-                    self.mv._fs_phase = la[3] + self._sel_reuse
+                    try:  # worker errors fall back to the sync selector
+                        sel = la[2].result()  # already device-staged
+                        self.mv._fs_phase = la[3] + self._sel_reuse
+                    except Exception as e:
+                        print("lookahead selection failed:", e)
+                if sel is not None:
+                    offsets, bucket = sel
                     self.stats.setdefault("sel_la_hit", []).append(1)
                 else:
                     offsets, bucket = self._frame_bricks(init, batch["depth"])
@@ -1035,7 +1060,10 @@ class RemixFusionTPU:
         kf_every = self.config["mapping"]["keyframe_every"]
 
         if _st: _st.start("m_integrate")
-        if self.mapping_idx % kf_every == 0:
+        # cur_frame_id = mapping_idx + keyframe_every always lands on a
+        # keyframe under the shipped stride (reference mapper.py:884); the
+        # guard is on the frame being mapped, not the stale previous index
+        if cur_frame_id % kf_every == 0:
             cur_kf_id = cur_frame_id // kf_every
             c2w = jnp.asarray(self.est_c2w_data[cur_frame_id])
             if _st: _st.start("m_i_rba")
@@ -1051,7 +1079,10 @@ class RemixFusionTPU:
             if (la is not None and la[0] == cur_frame_id
                     and np.array_equal(la[1],
                                        self.est_c2w_data[cur_frame_id])):
-                pre = la[2].result()
+                try:  # worker errors fall back to in-call tile selection
+                    pre = la[2].result()
+                except Exception as e:
+                    print("lookahead integrate selection failed:", e)
             self.buffers = self.mapper.integrate_keyframe(
                 self.buffers, dep_dev, rgb_dev, self.K_dev, c2w, self.bound,
                 host_depth=batch["depth"],
@@ -1069,7 +1100,7 @@ class RemixFusionTPU:
         self.mapping_idx = cur_frame_id
 
         if _st: _st.start("m_kfadd")
-        if self.mapping_idx % kf_every == 0:
+        if cur_frame_id % kf_every == 0:
             dep_dev, rgb_dev = self._dev_frames.get(cur_frame_id, batch)
             self.kfdb.add_keyframe(
                 cur_frame_id, dep_dev, rgb_dev, self.dirs_dev,
@@ -1200,9 +1231,14 @@ class RemixFusionTPU:
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
         if self.viewer is not None:  # final full trajectory for the page
-            self.viewer.publish_state(
-                frame=self.dataset.num_frames - 1, n=self.dataset.num_frames,
-                est=poses_np, gt=self.pose_gt, extra={"status": "finished"})
+            try:  # best-effort: the viewer must never kill finalize
+                self.viewer.publish_state(
+                    frame=self.dataset.num_frames - 1,
+                    n=self.dataset.num_frames,
+                    est=poses_np, gt=self.pose_gt,
+                    extra={"status": "finished"})
+            except Exception as e:
+                print("live viewer publish failed:", e)
         try:
             pose_evaluation(self.pose_gt, poses_np, 1, self.out_dir,
                             self.dataset.num_frames - 1)
@@ -1539,9 +1575,9 @@ class RemixFusionTPU:
         by rendering eval (reference slam.py:290-344). When `target_depth`
         is given, sampling is depth-guided like training; otherwise rays use
         uniform near..far samples."""
-        dirs = np.asarray(directions)[::gap, ::gap].reshape(-1, 3)
-        H = np.asarray(directions).shape[0] // gap
-        W = np.asarray(directions).shape[1] // gap
+        sub = np.asarray(directions)[::gap, ::gap]
+        H, W = sub.shape[0], sub.shape[1]  # from the slice: [::gap] is
+        dirs = sub.reshape(-1, 3)          # ceil(size/gap), not floor
         c2w = np.asarray(c2w, np.float32)
         rays_d = dirs @ c2w[:3, :3].T
         rays_o = np.tile(c2w[:3, 3][None], (len(dirs), 1))
@@ -1553,11 +1589,16 @@ class RemixFusionTPU:
         chunk = 4096
         scene = self.scene
 
-        def render_chunk(p, b, k, o, d, td):
-            out = scene.render_rays(p, b, k, o, d, td)
-            return out["rgb_res_map"], out["depth_res_map"]
+        render_jit = getattr(self, "_render_chunk_jit", None)
+        if render_jit is None:
+            def render_chunk(p, b, k, o, d, td):
+                out = scene.render_rays(p, b, k, o, d, td)
+                return out["rgb_res_map"], out["depth_res_map"]
 
-        render_jit = jax.jit(render_chunk)
+            # cache the jitted closure: a fresh jax.jit per call would
+            # retrace and recompile the chunk renderer on every rendered
+            # frame (periodic render_img / live-render stalls)
+            render_jit = self._render_chunk_jit = jax.jit(render_chunk)
         rgbs, depths = [], []
         for i in range(0, len(dirs), chunk):
             o = rays_o[i: i + chunk]
