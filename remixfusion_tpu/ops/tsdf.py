@@ -1385,14 +1385,18 @@ class BrickSelector:
         dims_p = (BX + 2 * k, BY + 2 * k, BZ + 2 * k)
         grid = np.zeros(dims_p, bool)
         if m <= self.bs:
-            # Exact per-point box: each point's [pt-m, pt+m] band AABB
-            # touches at most 2 bricks per axis, so marking the 8 corner
-            # cells IS the minimal covering brick set — the brick-aligned
-            # ±k dilation below overshoots it ~1.8x (measured: 1882 ->
-            # ~1000 near bricks on the bench frames, identical fusion
-            # coverage since every updatable voxel lies within m of a
-            # splat point by construction of m). One flat scatter for all
-            # 8 corners keeps the 1-core host cost at ~8 ms/frame.
+            # Exact per-point box cover. With 2m <= bs the [pt-m, pt+m]
+            # band AABB touches at most 2 bricks per axis, so the 8 corner
+            # cells ARE the minimal covering brick set; with m in
+            # (bs/2, bs] it can straddle 3 bricks per axis, so each axis
+            # contributes {lo, min(lo+1, hi), hi} — clipped to hi, so
+            # padding duplicates rewrite the same cell harmlessly (the
+            # old 8-corner shortcut here silently dropped the MIDDLE
+            # brick, including the splat point's own, whenever the box
+            # spanned 3). Both variants beat the brick-aligned ±k
+            # dilation below, which overshoots the minimal set ~1.8x
+            # (measured: 1882 -> ~1000 near bricks on the bench frames).
+            # One flat scatter keeps the 1-core host cost low.
             mo = m / self.bs
             lo = np.floor(rel - mo).astype(np.int64) + k
             hi = np.floor(rel + mo).astype(np.int64) + k
@@ -1400,12 +1404,19 @@ class BrickSelector:
             np.clip(hi, 0, np.asarray(dims_p) - 1, out=hi)
             sy = dims_p[2]
             sx = dims_p[1] * dims_p[2]
-            fx = (lo[:, 0] * sx, hi[:, 0] * sx)
-            fy = (lo[:, 1] * sy, hi[:, 1] * sy)
-            fz = (lo[:, 2], hi[:, 2])
-            flat = np.concatenate([fx[a] + fy[b] + fz[c]
-                                   for a in (0, 1) for b in (0, 1)
-                                   for c in (0, 1)])
+            if 2 * m <= self.bs:
+                fx = (lo[:, 0] * sx, hi[:, 0] * sx)
+                fy = (lo[:, 1] * sy, hi[:, 1] * sy)
+                fz = (lo[:, 2], hi[:, 2])
+            else:
+                fx = (lo[:, 0] * sx, np.minimum(lo[:, 0] + 1, hi[:, 0]) * sx,
+                      hi[:, 0] * sx)
+                fy = (lo[:, 1] * sy, np.minimum(lo[:, 1] + 1, hi[:, 1]) * sy,
+                      hi[:, 1] * sy)
+                fz = (lo[:, 2], np.minimum(lo[:, 2] + 1, hi[:, 2]),
+                      hi[:, 2])
+            flat = np.concatenate([a + b + c
+                                   for a in fx for b in fy for c in fz])
             grid.reshape(-1)[flat] = True
         else:
             # wide margins (m > brick side): splat the point bricks, then
@@ -1504,19 +1515,25 @@ class BrickSelector:
         return mask
 
     def select(self, origin, c2w, depth, trunc_margin, budget,
-               fs_phase=0, fs_every=4, fs_span=1):
+               fs_phase=0, fs_every=4, fs_span=1, update_seen=True):
         """Returns ([budget, 3] int32 brick coords padded with -1, n_near,
-        n_selected) — same contract as select_fusion_bricks. fs_span > 1
-        includes `span` consecutive free-space phases (used when one
+        n_selected, near_flat) — the brick contract of
+        select_fusion_bricks plus the flat near-brick index set. fs_span >
+        1 includes `span` consecutive free-space phases (used when one
         selection serves several frames: the carve rotation still covers
-        every brick each fs_every frames)."""
+        every brick each fs_every frames). update_seen=False defers the
+        fs_scope='seen' carve-history update: a look-ahead worker thread
+        must not mutate `self.seen` (the main thread may shift_seen it
+        concurrently on a re-center); the consumer applies mark_seen with
+        the returned near_flat once it has validated the origin snapshot."""
         import numpy as np
         near, dmax = self.near_mask(origin, c2w, depth, trunc_margin)
         fr = self.frustum_mask(origin, c2w, dmax, trunc_margin)
         near_flat = np.flatnonzero(near)
         if self.fs_scope == "seen":
             fs_flat = np.flatnonzero(fr & ~near & self.seen)
-            self.mark_seen(near_flat)
+            if update_seen:
+                self.mark_seen(near_flat)
         else:
             fs_flat = np.flatnonzero(fr & ~near)
         if fs_every > 1 and fs_span < fs_every:
@@ -1530,7 +1547,7 @@ class BrickSelector:
         coords = np.stack(
             [sel // (BY * BZ), (sel // BZ) % BY, sel % BZ], -1).astype(np.int32)
         pad = np.full((budget - len(sel), 3), -1, np.int32)
-        return np.concatenate([coords, pad], 0), n_near, len(sel)
+        return np.concatenate([coords, pad], 0), n_near, len(sel), near_flat
 
 
 def select_fusion_bricks(dims, b, origin, voxel_size, K, c2w, depth,

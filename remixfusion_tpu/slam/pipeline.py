@@ -635,9 +635,12 @@ class RemixFusionTPU:
         never pays the ~small-but-RTT-priced device_put of the selection
         (on a degraded tunnel every host-thread transfer stalls the whole
         dispatch stream)."""
-        bricks_np, bucket = self.mv.frame_bricks_pure(
-            origin, pose, depth, K, phase, span)
-        return jnp.asarray(bricks_np), bucket
+        bricks_np, bucket, near_flat = self.mv.frame_bricks_pure(
+            origin, pose, depth, K, phase, span,
+            update_seen=False)  # the worker must not mutate the carve
+        # history (the main thread may shift_seen it concurrently); the
+        # consumer applies near_flat after validating the origin snapshot
+        return jnp.asarray(bricks_np), bucket, near_flat
 
     def _build_track_and_fuse(self, im_h, im_w, mode: str, fuse_color=True):
         """Per-frame tracking + fusion as TWO chained async dispatches (the
@@ -865,7 +868,8 @@ class RemixFusionTPU:
                     except Exception as e:
                         print("lookahead selection failed:", e)
                 if sel is not None:
-                    offsets, bucket = sel
+                    offsets, bucket, near_flat = sel
+                    self.mv.apply_seen(near_flat)  # deferred from worker
                     self.stats.setdefault("sel_la_hit", []).append(1)
                 else:
                     offsets, bucket = self._frame_bricks(init, batch["depth"])

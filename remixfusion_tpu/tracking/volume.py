@@ -51,6 +51,8 @@ class MovingVolume:
         self.vol_bnds = self._center_bounds(init_pose)
         if self.version == "more":
             self.vol_bnds = self._more_bounds(init_pose)
+            angles, _ = self._axis_angles(init_pose)
+            self.first_axis = int(np.argsort([a for a, _ in angles])[0])
         self.vol_bnds = np.asarray(self.vol_bnds, np.float64)
         self.dims = tuple(
             int(math.ceil((self.vol_bnds[i, 1] - self.vol_bnds[i, 0])
@@ -110,9 +112,9 @@ class MovingVolume:
             self.fs_scope = str(v.get("fs_scope", "frustum"))
             # compile one fuser per budget bucket; per frame we pick the
             # smallest bucket that fits the actual selection. Powers of two
-            # up to 2048, then 1024 steps: padded rows pay full per-voxel
-            # fusion cost, and steady-state selections sit in the 2-5k
-            # range where pow2 rounding wasted up to 35% (measured ~6 ms
+            # up to 1024, then 512 steps: padded rows pay full per-voxel
+            # fusion cost, and steady-state selections sit in the 1-5k
+            # range where coarser rounding wasted up to 35% (measured ~6 ms
             # of the ~25 ms fuse at bucket 4096)
             self.brick_buckets = []
             bb = 256
@@ -169,6 +171,8 @@ class MovingVolume:
 
     def _more_bounds(self, c2w) -> np.ndarray:
         """Dominant-view-direction anisotropic box (Volume.py:1110-1202).
+        Pure — the caller commits anchor/first_axis state only when the
+        candidate box is actually accepted (check_move) or at init.
 
         NOTE: with first_len != second_len the volume SHAPE would change when
         the dominant axis flips; fixed shapes require first_len == second_len
@@ -178,9 +182,6 @@ class MovingVolume:
         order = np.argsort([a for a, _ in angles])
         first, second, third = (int(order[0]), int(order[1]), int(order[2]))
         first_flag = angles[first][1]
-        self.first_axis = first
-        self.kfx, self.kfy, self.kfz = (float(c2w[0, 3]), float(c2w[1, 3]),
-                                        float(c2w[2, 3]))
         b = np.zeros((3, 2))
         f = self.first_len
         fwd = first_flag == 1
@@ -209,22 +210,28 @@ class MovingVolume:
         trans = np.array([c2w[0, 3] - self.kfx, c2w[1, 3] - self.kfy,
                           c2w[2, 3] - self.kfz])
         tmp = self.vol_bnds.copy()
-        any_axis = False
+        tripped = []
         for i in range(3):
             if abs(trans[i]) > self.t_threshold and not self.fix[i]:
                 tmp[i, :] += trans[i]
-                any_axis = True
-                if i == 0:
-                    self.kfx = float(c2w[0, 3])
-                elif i == 1:
-                    self.kfy = float(c2w[1, 3])
-                else:
-                    self.kfz = float(c2w[2, 3])
-        if any_axis:
+                tripped.append(i)
+        if tripped:
             tmp = np.round(tmp, 0)
             if not np.array_equal(tmp, old_bnds):
                 self._shift_to(tmp)
                 moved = True
+            # Commit a translation anchor only for axes whose bounds
+            # actually changed after the integer rounding: an axis whose
+            # move rounded away must keep accumulating drift toward the
+            # threshold, or (t_treshold < 0.5) it would never re-center.
+            for i in tripped:
+                if tmp[i, 0] != old_bnds[i, 0]:
+                    if i == 0:
+                        self.kfx = float(c2w[0, 3])
+                    elif i == 1:
+                        self.kfy = float(c2w[1, 3])
+                    else:
+                        self.kfz = float(c2w[2, 3])
 
         if self.version == "more":
             angles, fixed_axis = self._axis_angles(c2w)
@@ -232,17 +239,32 @@ class MovingVolume:
             first = int(order[0])
             first_angle = angles[first][0]
             if first != self.first_axis and first_angle < self.more_angel_t:
-                new_b = self._more_bounds(c2w)
-                if tuple(np.asarray(
-                        np.ceil((new_b[:, 1] - new_b[:, 0]) / self.voxel_size),
-                        int)) != self.dims:
+                new_b = np.asarray(self._more_bounds(c2w), np.float64)
+                # normalize the candidate exactly like __init__: raw ceil
+                # dims, padded to the brick edge, upper bounds recomputed —
+                # comparing raw dims against the padded self.dims raised a
+                # spurious shape error for any brick-padded volume
+                raw = tuple(int(math.ceil((new_b[i, 1] - new_b[i, 0])
+                                          / self.voxel_size))
+                            for i in range(3))
+                if self.brick:
+                    raw = tuple(int(math.ceil(d / self.brick)) * self.brick
+                                for d in raw)
+                if raw != self.dims:
                     raise ValueError(
                         "'more' re-center changed the volume shape; set "
                         "first_len == second_len for fixed-shape volumes")
-                if not np.array_equal(new_b, old_bnds):
+                new_b[:, 1] = new_b[:, 0] + \
+                    np.asarray(self.dims) * self.voxel_size
+                if not np.array_equal(new_b, self.vol_bnds):
                     self._shift_to(new_b)
-                    self.first_axis = first
                     moved = True
+                # the axis flip is handled (shifted or already in place):
+                # commit the dominant axis and re-anchor translation state
+                # to the pose that defined the new box
+                self.first_axis = first
+                self.kfx, self.kfy, self.kfz = (
+                    float(c2w[0, 3]), float(c2w[1, 3]), float(c2w[2, 3]))
 
         if moved:
             start = self.start_id
@@ -328,46 +350,66 @@ class MovingVolume:
             weight_clamp=self.weight_clamp, scale_rgb=scale_rgb)
 
     def _ensure_brick_sel(self, hw, K):
-        if not hasattr(self, "_brick_sel") or self._brick_sel_hw != hw:
+        key = (hw, np.asarray(K, np.float32).tobytes())
+        if getattr(self, "_brick_sel_key", None) != key:
             old = getattr(self, "_brick_sel", None)
             self._brick_sel = tsdf_ops.BrickSelector(
                 self.dims, self.brick, self.voxel_size, np.asarray(K),
                 hw[0], hw[1], fs_scope=self.fs_scope)
             if old is not None:  # carry the carve history across a
-                self._brick_sel.seen = old.seen  # resolution change
-            self._brick_sel_hw = hw
+                self._brick_sel.seen = old.seen  # resolution/K change
+            elif getattr(self, "_pending_reseed", None) is not None:
+                # a checkpoint was loaded before the selector existed
+                self._brick_sel.reseed_seen(self._pending_reseed)
+                self._pending_reseed = None
+            self._brick_sel_key = key
         return self._brick_sel
 
     def reseed_seen_from_state(self):
         """Rebuild the fs_scope='seen' carve history from volume content
-        (checkpoint load / external state writes)."""
-        if self.brick and hasattr(self, "_brick_sel") \
-                and self._brick_sel.fs_scope == "seen":
-            tmin = jnp.min(self.state.tsdf.reshape(-1, self.brick ** 3),
-                           axis=1)
-            self._brick_sel.reseed_seen(np.asarray(tmin))
+        (checkpoint load / external state writes). If the selector has not
+        been lazily constructed yet (fresh-process resume), the reseed is
+        stashed and applied on construction — silently dropping it would
+        lose the entire pre-checkpoint carve history."""
+        if not (self.brick and self.fs_scope == "seen"):
+            return
+        tmin = np.asarray(jnp.min(
+            self.state.tsdf.reshape(-1, self.brick ** 3), axis=1))
+        if hasattr(self, "_brick_sel"):
+            self._brick_sel.reseed_seen(tmin)
+        else:
+            self._pending_reseed = tmin
 
     def frame_bricks_pure(self, origin, c2w_np, depth_np, K, fs_phase,
-                          fs_span: int = 1):
-        """Pure brick selection against an explicit origin/phase snapshot —
-        safe to run on a worker thread while the main thread waits on the
-        device (no MovingVolume state is read or written). Returns
-        (bricks host np [bucket, 3], bucket). fs_span: number of
-        consecutive free-space phases to include (selection-reuse
-        compensation — see pipeline volume.sel_reuse)."""
+                          fs_span: int = 1, update_seen: bool = True):
+        """Brick selection against an explicit origin/phase snapshot.
+        Returns (bricks host np [bucket, 3], bucket, near_flat). fs_span:
+        number of consecutive free-space phases to include
+        (selection-reuse compensation — see pipeline volume.sel_reuse).
+
+        update_seen=False makes the call pure (no MovingVolume/selector
+        state written) — REQUIRED on a look-ahead worker thread: the main
+        thread may shift_seen the carve history concurrently on a
+        re-center, and a post-shift mark_seen with pre-shift indices would
+        corrupt it. The consumer applies the returned near_flat via
+        apply_seen once the origin snapshot is validated."""
         sel = self._ensure_brick_sel(depth_np.shape, K)
-        bricks, _, n_sel = sel.select(
+        bricks, _, n_sel, near_flat = sel.select(
             origin, c2w_np, depth_np, self.trunc_margin,
             self.brick_budget, fs_phase=fs_phase, fs_every=self.fs_every,
-            fs_span=fs_span)
+            fs_span=fs_span, update_seen=update_seen)
         bucket = next(b for b in self.brick_buckets if b >= n_sel)
-        return bricks[:bucket], bucket
+        return bricks[:bucket], bucket, near_flat
+
+    def apply_seen(self, near_flat):
+        """Commit a deferred carve-history update (see frame_bricks_pure)."""
+        if self.fs_scope == "seen" and hasattr(self, "_brick_sel"):
+            self._brick_sel.mark_seen(near_flat)
 
     def frame_bricks(self, c2w_np, depth_np, K, fs_span: int = 1):
         """Host-side brick selection + bucket sizing for one frame.
         Returns (bricks [bucket, 3] jnp.int32 padded with -1, bucket)."""
-        self._ensure_brick_sel(depth_np.shape, K)
-        bricks, bucket = self.frame_bricks_pure(
+        bricks, bucket, _ = self.frame_bricks_pure(
             self.vol_bnds[:, 0], c2w_np, depth_np, K, self._fs_phase,
             fs_span=fs_span)
         self._fs_phase += fs_span
@@ -430,8 +472,10 @@ class MovingVolume:
             return
 
         if self.tile and not full_sweep:
+            # host-side origin copy: reading state.origin would sync the
+            # device queue (vol_bnds[:, 0] always mirrors it)
             offs = tsdf_ops.frustum_tiles(
-                self.dims, self.tile, np.asarray(self.state.origin),
+                self.dims, self.tile, self.vol_bnds[:, 0].copy(),
                 self.voxel_size, np.asarray(K), np.asarray(c2w), im_h, im_w)
             if len(offs) <= self.tile_budget:
                 key = ("tiled", im_h, im_w, bool(rgb_is_unit))

@@ -123,7 +123,7 @@ def test_brick_selector_fused_volume_matches_reference_band():
         im_h=H, im_w=W, weight_clamp=True)
 
     sel = tsdf_ops.BrickSelector(dims, b, vs, K, H, W)
-    bricks, n_near, n_sel = sel.select(origin, c2w, depth, trunc, 64,
+    bricks, n_near, n_sel, _ = sel.select(origin, c2w, depth, trunc, 64,
                                        fs_phase=0, fs_every=1)
     fuse = tsdf_ops.make_brick_fuser_bm(
         dims, b, 64, voxel_size=vs, trunc_margin=trunc, im_h=H, im_w=W,

@@ -526,10 +526,10 @@ def test_fs_scope_seen_semantics():
 
     budget = 64
     # every fs phase in one selection so phase rotation can't hide bricks
-    br1, n_near1, n1 = sel.select(origin, c2w, depth, 0.05, budget,
-                                  fs_phase=0, fs_every=1)
-    brf, n_nearf, nf = sel_f.select(origin, c2w, depth, 0.05, budget,
-                                    fs_phase=0, fs_every=1)
+    br1, n_near1, n1, _ = sel.select(origin, c2w, depth, 0.05, budget,
+                                     fs_phase=0, fs_every=1)
+    brf, n_nearf, nf, _ = sel_f.select(origin, c2w, depth, 0.05, budget,
+                                       fs_phase=0, fs_every=1)
     assert n_near1 == n_nearf
     # first 'seen' selection has NO carve history: fs set empty
     assert n1 == n_near1 < nf
@@ -539,8 +539,8 @@ def test_fs_scope_seen_semantics():
     # that left the near band now appear as fs bricks
     c2w2 = c2w.copy()
     c2w2[2, 3] += 0.3
-    br2, n_near2, n2 = sel.select(origin, c2w2, depth, 0.05, budget,
-                                  fs_phase=0, fs_every=1)
+    br2, n_near2, n2, _ = sel.select(origin, c2w2, depth, 0.05, budget,
+                                     fs_phase=0, fs_every=1)
     fs2 = {tuple(r) for r in br2[n_near2:n2]}
     near1 = {tuple(r) for r in br1[:n_near1]}
     assert fs2, "history bricks out of the near band must be carved"
@@ -558,3 +558,52 @@ def test_fs_scope_seen_semantics():
     tmin[[3, 17]] = 0.2
     sel.reseed_seen(tmin)
     assert set(np.flatnonzero(sel.seen)) == {3, 17}
+
+
+def test_near_mask_exact_cover_all_margin_regimes():
+    """near_mask's per-point box cover must mark EVERY brick whose region
+    intersects a splat point's [pt-m, pt+m] AABB — in particular the
+    middle brick (the point's own) when m in (bs/2, bs], where the old
+    8-corner shortcut dropped it (regression: an isolated surface patch
+    was never fused/carved at Replica-class voxel/trunc ratios)."""
+    from remixfusion_tpu.ops.tsdf import BrickSelector
+
+    H, W = 12, 16
+    # A single valid center pixel -> a single splat point; the rest of the
+    # depth image is invalid so no neighbor can mask a dropped brick.
+    for vs, trunc in ((0.01, 0.05),   # m/bs ~ 0.8 (the broken regime)
+                      (0.02, 0.05),   # m/bs ~ 0.55
+                      (0.04, 0.02),   # m/bs <= 0.5 (8-corner regime)
+                      (0.004, 0.05)): # m > bs (dilation regime)
+        K = np.array([[200.0, 0, W / 2], [0, 200.0, H / 2], [0, 0, 1.0]],
+                     np.float32)
+        # volume large enough to contain the splat point (z ~ 1.05 m)
+        n = int(np.ceil(1.6 / (vs * 10))) * 10
+        sel = BrickSelector((n, n, n), 10, vs, K, H, W, splat_stride=4)
+        depth = np.zeros((H, W), np.float32)
+        # on the stride-4 subgrid; z chosen so rel_z sits mid-brick at
+        # vs=0.01 (rel_z = 10.5), where the +-mo box spans 3 bricks and
+        # the old corner cover dropped the middle one
+        depth[8, 8] = 1.05
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0.2, 0.2, 0.0]  # camera inside the volume
+        origin = np.zeros(3)
+        mask, dmax = sel.near_mask(origin, c2w, depth, trunc)
+
+        # brute-force reference, vectorized: every brick whose AABB
+        # intersects the point's box must be marked (the selector may
+        # overshoot, never undershoot)
+        d = 1.05
+        pt = np.array([(8 - K[0, 2]) / K[0, 0] * d,
+                       (8 - K[1, 2]) / K[1, 1] * d, d]) + c2w[:3, 3]
+        gap = sel.stride * dmax * max(sel.inv_fx, sel.inv_fy)
+        m = trunc + gap + vs
+        B = sel.BX
+        ax = np.arange(B) * sel.bs
+        hit = [(pt[a] + m >= ax) & (pt[a] - m <= ax + sel.bs)
+               for a in range(3)]
+        need = (hit[0][:, None, None] & hit[1][None, :, None]
+                & hit[2][None, None, :]).reshape(-1)
+        assert need.any(), (vs, "test geometry broken: point not in volume")
+        missing = np.flatnonzero(need & ~mask)
+        assert missing.size == 0, (vs, trunc, m / sel.bs, missing)
