@@ -44,21 +44,41 @@ class SyntheticDataset(BaseDataset):
         self.sphere_radius = float(syn.get("sphere_radius", 0.6))
         self.orbit_radius = float(syn.get("orbit_radius", 1.2))
         self.orbit_degrees = float(syn.get("orbit_degrees", 120.0))
+        # Scene-variation knobs (all default to the original scene bitwise —
+        # recorded baselines stay comparable): a different scene_seed
+        # re-scatters the clutter; orbit_radius_z != orbit_radius makes the
+        # orbit elliptical; speed_wobble > 0 modulates the angular speed
+        # (±~2x at 0.15), stressing the const-speed pose prediction with
+        # accelerations a circular orbit never produces.
+        self.scene_seed = int(syn.get("scene_seed", 7))
+        self.orbit_radius_z = float(syn.get("orbit_radius_z",
+                                            self.orbit_radius))
+        self.speed_wobble = float(syn.get("speed_wobble", 0.0))
         s = self.room_size
         self.center = np.array([s / 2, s / 2, s / 2], np.float32)
         # Clutter objects: extra spheres + boxes scattered deterministically.
         # Pure planes are sliding-invariant for depth-only tracking; the
         # clutter makes the pose fully observable like a real indoor scene.
-        rng = np.random.default_rng(7)
+        rng = np.random.default_rng(self.scene_seed)
         self.min_depth = float(syn.get("min_depth", 0.3))
 
-        def clear_of_orbit(center, radius):
-            # distance from the camera orbit circle (y = room center plane)
-            d_xy = np.hypot(center[0] - self.center[0],
-                            center[2] - self.center[2])
-            ring = np.hypot(d_xy - self.orbit_radius,
-                            center[1] - self.center[1])
-            return ring - radius > self.min_depth + 0.1
+        if self.orbit_radius_z == self.orbit_radius:
+            def clear_of_orbit(center, radius):
+                # distance from the camera orbit circle (y = center plane)
+                d_xy = np.hypot(center[0] - self.center[0],
+                                center[2] - self.center[2])
+                ring = np.hypot(d_xy - self.orbit_radius,
+                                center[1] - self.center[1])
+                return ring - radius > self.min_depth + 0.1
+        else:
+            # elliptical path: no closed-form ring distance — test against
+            # densely sampled eye positions instead
+            eyes = np.stack([self._eye(t)
+                             for t in np.linspace(0.0, 1.0, 512)])
+
+            def clear_of_orbit(center, radius):
+                d = np.linalg.norm(eyes - center[None, :], axis=1).min()
+                return d - radius > self.min_depth + 0.1
 
         self.spheres = [(self.center.copy(), self.sphere_radius)]
         while len(self.spheres) < 1 + int(syn.get("n_spheres", 8)):
@@ -86,12 +106,21 @@ class SyntheticDataset(BaseDataset):
     def __len__(self):
         return self.n_frames
 
-    def _pose(self, i):
-        t = i / max(self.n_frames - 1, 1)
-        ang = np.deg2rad(self.orbit_degrees) * t
+    def _eye(self, t: float) -> np.ndarray:
+        """Camera position at normalized trajectory time t in [0, 1]."""
+        ang = np.deg2rad(self.orbit_degrees) * (
+            t + self.speed_wobble * np.sin(2.0 * np.pi * t))
+        # op order matters: at the default knobs this must stay bitwise
+        # identical to the original circular orbit (recorded baselines)
         eye = self.center + self.orbit_radius * np.array(
             [np.cos(ang), 0.12 * np.sin(2 * ang), np.sin(ang)])
-        return _look_at(eye, self.center)
+        if self.orbit_radius_z != self.orbit_radius:
+            eye[2] = self.center[2] + self.orbit_radius_z * np.sin(ang)
+        return eye
+
+    def _pose(self, i):
+        t = i / max(self.n_frames - 1, 1)
+        return _look_at(self._eye(t), self.center)
 
     def render(self, c2w):
         """Exact ray-traced depth (z-depth) + RGB for one pose."""
@@ -212,12 +241,19 @@ class SyntheticDataset(BaseDataset):
 
     def _disk_cache_path(self, index):
         import hashlib
+        # the variation knobs join the key only when non-default, so the
+        # default scene's existing cache entries stay valid
+        extra = ()
+        if (self.scene_seed, self.orbit_radius_z, self.speed_wobble) != \
+                (7, self.orbit_radius, 0.0):
+            extra = (self.scene_seed, self.orbit_radius_z, self.speed_wobble)
         key = hashlib.md5(repr((
             self.n_frames, self.room_size, self.sphere_radius,
             self.orbit_radius, self.orbit_degrees, self.min_depth,
             self.H, self.W, float(self.fx), float(self.fy),
             float(self.cx), float(self.cy),
-            len(self.spheres), len(self.boxes))).encode()).hexdigest()[:12]
+            len(self.spheres), len(self.boxes)) + extra).encode()
+        ).hexdigest()[:12]
         d = os.path.join("/tmp", "rmx_syn_cache", key)
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{index}.npz")

@@ -1254,6 +1254,23 @@ class RemixFusionTPU:
             voxel_size=self.config["mesh"]["voxel_final"])
         self.post_process_mesh(mesh_path, poses_np)
 
+    def close(self):
+        """Release host-side resources: worker threads and the live viewer.
+        Device buffers are freed when the pipeline object is dropped. Safe
+        to call more than once; the pipeline must not be used afterwards.
+        Used by callers that build several pipelines in one process (bench
+        retry attempts, A/B sweeps)."""
+        for pool_name in ("_sel_pool", "_xfer_pool"):
+            pool = getattr(self, pool_name, None)
+            if pool is not None:
+                pool.shutdown(wait=True, cancel_futures=True)
+        if self.viewer is not None:
+            try:
+                self.viewer.stop()
+            except Exception as e:
+                print("live viewer stop failed:", e)
+            self.viewer = None
+
     def post_process_mesh(self, mesh_path, poses_np, skip: int = 5,
                           eps: float = 0.1):
         """Occlusion-cull the final mesh with the estimated trajectory and

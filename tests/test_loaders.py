@@ -222,3 +222,55 @@ def test_factory_accepts_reference_config_names(tmp_path):
         "\n".join(f"{i} 0 0 0 0 0 0 1" for i in range(2)))
     cfg = tiny_config(dataset="BS3D", data={"datadir": str(d)}, **cam_cfg())
     assert isinstance(get_dataset(cfg), BS3DDataset)
+
+
+def test_synthetic_default_scene_pinned():
+    """The scene-variation knobs (scene_seed / orbit_radius_z /
+    speed_wobble) must leave the DEFAULT scene bitwise unchanged — every
+    recorded baseline (BASELINE.md) was measured on it. Pins clutter
+    placement and a trajectory pose against values recorded before the
+    knobs were introduced."""
+    from remixfusion_tpu.datasets.synthetic import SyntheticDataset
+
+    cfg = tiny_config(data={"synthetic": {
+        "n_frames": 5, "room_size": 4.0, "sphere_radius": 0.45,
+        "orbit_radius": 1.35, "orbit_degrees": 200.0}})
+    ds = SyntheticDataset(cfg)
+    np.testing.assert_allclose(
+        ds.spheres[1][0], [2.35026731, 3.11219864, 2.77191993], atol=1e-7)
+    assert abs(ds.spheres[1][1] - 0.3120663007969894) < 1e-12
+    np.testing.assert_allclose(
+        ds.boxes[0][0], [1.59032791, 0.64493475, 1.43239346], atol=1e-7)
+    np.testing.assert_allclose(
+        ds.poses[2][:3, 3], [1.7655749, 1.9445927, 3.3294904], atol=1e-6)
+
+
+def test_synthetic_scene_variation_knobs():
+    """scene_seed re-scatters clutter; orbit_radius_z makes the orbit
+    elliptical; speed_wobble modulates angular speed. Clutter placement
+    keeps the camera path clear of every object on the varied scene too."""
+    from remixfusion_tpu.datasets.synthetic import SyntheticDataset
+
+    base = {"n_frames": 24, "room_size": 5.0, "sphere_radius": 0.55,
+            "orbit_radius": 1.7, "orbit_degrees": 240.0,
+            "n_spheres": 10, "n_boxes": 7}
+    ds_a = SyntheticDataset(tiny_config(data={"synthetic": dict(base)}))
+    ds_b = SyntheticDataset(tiny_config(data={"synthetic": {
+        **base, "scene_seed": 21, "orbit_radius_z": 1.0,
+        "speed_wobble": 0.15}}))
+
+    # different clutter under a different seed
+    assert not np.allclose(ds_a.spheres[1][0], ds_b.spheres[1][0])
+    # elliptical: z-extent of the eye path shrinks to orbit_radius_z
+    eyes_b = np.stack([p[:3, 3] for p in ds_b.poses])
+    assert np.abs(eyes_b[:, 2] - 2.5).max() <= 1.0 + 1e-5
+    assert np.abs(eyes_b[:, 0] - 2.5).max() > 1.3
+    # speed wobble: per-frame step sizes vary well beyond the ellipse's own
+    # modulation (constant angular speed on this ellipse stays within 2x)
+    steps = np.linalg.norm(np.diff(eyes_b, axis=0), axis=1)
+    assert steps.max() / max(steps.min(), 1e-9) > 3.0
+    # every camera position stays clear of every surface (min sensor range)
+    assert ds_b.gt_sdf(eyes_b).min() > 0.3
+    # and the varied scene renders: finite depth, some valid pixels
+    rgb, depth = ds_b.render(ds_b.poses[0])
+    assert np.isfinite(depth).all() and (depth > 0).mean() > 0.5

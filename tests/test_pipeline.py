@@ -57,7 +57,12 @@ def test_end_to_end_synthetic(tmp_path):
     assert len(st["est"]) == 12 and len(st["gt"]) == 12
     body = urllib.request.urlopen(base + "/frame").read()
     assert len(body) > 100  # encoded image (jpg or bmp)
-    slam.viewer.stop()
+
+    # close() releases workers + viewer and is idempotent (bench retry
+    # attempts build several pipelines in one process)
+    slam.close()
+    assert slam.viewer is None
+    slam.close()
 
 
 def test_checkpoint_roundtrip(tmp_path):
