@@ -299,7 +299,10 @@ def main():
                   f"after {wait_s:.0f}s", file=sys.stderr)
             time.sleep(wait_s)
 
-    if os.environ.get("BENCH_MESH"):
+    # Mesh quality (accuracy/completion/F1 vs the analytic GT) prints with
+    # every bench by default — the headline FPS should always carry its
+    # quality row. Runs AFTER the timed section; BENCH_MESH=0 opts out.
+    if os.environ.get("BENCH_MESH", "1") != "0":
         try:
             from remixfusion_tpu.tools.cull_mesh import cull_one_mesh
             from remixfusion_tpu.tools.eval_recon import calc_3d_metric
@@ -367,9 +370,13 @@ def main():
         print("# stage timers:\n" + slam._stage_timer.summary(),
               file=sys.stderr)
 
+    res_tag = f"{cfg['cam']['W']}x{cfg['cam']['H']}"
+    cfg_tag = ("" if "synthetic_bench" in cfg_name
+               else f", {os.path.basename(cfg_name).rsplit('.', 1)[0]}")
     print(json.dumps({
         "metric": "online tracking+mapping FPS "
-                  "(synthetic 640x480, BS3D-like settings, 1 chip)",
+                  f"(synthetic {res_tag}{cfg_tag}, BS3D-like settings, "
+                  "1 chip)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 15.0, 3),

@@ -607,3 +607,17 @@ def test_near_mask_exact_cover_all_margin_regimes():
         assert need.any(), (vs, "test geometry broken: point not in volume")
         missing = np.flatnonzero(need & ~mask)
         assert missing.size == 0, (vs, trunc, m / sel.bs, missing)
+
+
+def test_bench_link_degraded_classifier():
+    """bench.py retries the measured section only when the post-run probe
+    proves tunnel degradation; the classifier must pass the measured
+    healthy-day band and flag the documented degraded states."""
+    import bench
+
+    healthy = {"rtt_ms": 1.9, "noise_ms": 20.0, "smooth_ms": 12.0,
+               "depth_only_ms": 8.0}
+    assert not bench.link_degraded(healthy)
+    assert bench.link_degraded({**healthy, "rtt_ms": 8.0})
+    assert bench.link_degraded({**healthy, "depth_only_ms": 60.0})
+    assert bench.link_degraded(None)  # probe itself stalled
