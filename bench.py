@@ -121,6 +121,32 @@ def link_degraded(probe) -> bool:
     return probe["rtt_ms"] > 5.0 or probe["depth_only_ms"] > 25.0
 
 
+def probe_tunnel_bounded(timeout_s: float = 90.0):
+    """Post-run probe with a stall guard: the measured FPS must reach the
+    JSON line even if the tunnel stalls outright right after the run (a
+    >9-minute full stall is documented). Returns the probe dict, or None
+    if the probe blocked past timeout_s or raised — None reads as
+    'degraded' in link_degraded."""
+    import threading
+    out = []
+    done = threading.Event()
+
+    def _probe():
+        try:
+            out.append(probe_tunnel())
+        except BaseException as e:
+            print(f"# post-run tunnel probe failed: {e}", file=sys.stderr)
+        finally:
+            done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"# post-run tunnel probe blocked > {timeout_s:.0f}s — "
+              f"treating link as stalled", file=sys.stderr)
+        return None
+    return out[0] if out else None
+
+
 def run_attempt(cfg, n_frames: int, warmup: int, frames=None):
     """One full measured run: fresh pipeline, prewarm, timed loop.
     Returns (result dict, slam, frames) — frames (pre-rendered + packed)
@@ -281,8 +307,9 @@ def main():
     for attempt in range(1, max_attempts + 1):
         if slam is not None:  # an earlier degraded-link attempt
             slam.close()
+            slam = None  # drop the reference so HBM frees before attempt 2
         res, slam, frames = run_attempt(cfg, n_frames, warmup, frames)
-        post_probe = probe_tunnel()  # conditions drift within a run
+        post_probe = probe_tunnel_bounded()  # conditions drift within a run
         degraded = link_degraded(post_probe)
         print(f"# attempt {attempt}: fps={res['fps']:.2f} "
               f"(link degraded: {degraded})", file=sys.stderr)
