@@ -1232,6 +1232,19 @@ class RemixFusionTPU:
                 break
             self.mapping_round(cur)
         self._apply_pending_ba()
+        # Optional offline refinement (beyond the reference, which stops at
+        # the online map state): mapping.final_iters extra field-only
+        # optimization iterations over the full keyframe store with the
+        # final (BA-refined) poses, before mesh extraction. Poses are NOT
+        # re-optimized — this polishes the residual field/decoders against
+        # everything the run saw. Runs as ceil(final_iters / iters) calls
+        # of the already-compiled map step; 0 (the default) disables it.
+        final_iters = int(self.config["mapping"].get("final_iters", 0))
+        if final_iters > 0 and self.mapping_idx > 0:
+            iters = self.config["mapping"]["iters"]
+            batch = self._get_frame(self.mapping_idx)
+            for _ in range(-(-final_iters // iters)):
+                self.global_mapping(batch, self.mapping_idx)
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
         if self.viewer is not None:  # final full trajectory for the page

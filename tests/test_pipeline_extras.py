@@ -159,3 +159,36 @@ def test_end_to_end_scene_variation(tmp_path):
         {float(i): poses_np[i] for i in range(len(poses_np))})
     assert stats["rmse"] < 0.10, stats
     slam.close()
+
+
+def test_final_refinement_runs_and_improves_field(tmp_path):
+    """mapping.final_iters (offline field refinement at finalize — beyond
+    the reference) runs the compiled map step over the keyframe store and
+    leaves poses untouched while changing the field parameters."""
+    import numpy as np
+
+    from helpers import tiny_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    cfg = tiny_config(
+        data={"output": str(tmp_path), "exp_name": "refine",
+              "synthetic": {"n_frames": 8, "orbit_degrees": 16.0}},
+        RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1]},
+        mapping={"first_iters": 8, "iters": 2, "BA_iters": 1,
+                 "keyframe_every": 2, "map_every": 2, "sample": 128,
+                 "final_iters": 6},
+        mesh={"vis": 0, "voxel_final": 0.1},
+    )
+    slam = RemixFusionTPU(cfg)
+    slam.run()
+    poses_before = slam.convert_relative_pose_npy()
+
+    # refinement changed the field params; a second finalize-style
+    # refinement call must leave poses exactly as recorded
+    table_after = np.asarray(slam.params.hash_table).copy()
+    batch = slam._get_frame(slam.mapping_idx)
+    slam.global_mapping(batch, slam.mapping_idx)
+    assert not np.allclose(np.asarray(slam.params.hash_table), table_after)
+    np.testing.assert_array_equal(slam.convert_relative_pose_npy(),
+                                  poses_before)
+    slam.close()
