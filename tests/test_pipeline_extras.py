@@ -192,3 +192,47 @@ def test_final_refinement_runs_and_improves_field(tmp_path):
     np.testing.assert_array_equal(slam.convert_relative_pose_npy(),
                                   poses_before)
     slam.close()
+
+
+def test_depth_dropout_frame_recovery(tmp_path):
+    """A frame with ALL-invalid depth (total sensor dropout) must not
+    derail tracking: the count guard disqualifies every candidate, the
+    pose carries the const-speed prediction, fusion skips the empty
+    frame, and subsequent frames re-lock (error returns to the
+    pre-dropout level). Exercises the failure-carry path e2e."""
+    import numpy as np
+
+    from helpers import tiny_config
+    from remixfusion_tpu.slam import RemixFusionTPU
+
+    cfg = tiny_config(
+        data={"output": str(tmp_path), "exp_name": "drop",
+              "synthetic": {"n_frames": 16, "orbit_degrees": 32.0}},
+        RO={"particle_iter_lens": 8, "depth_level": [4, 2, 1],
+            "init_size": 0.02, "count_search": 100},
+        mapping={"first_iters": 15, "iters": 2, "BA_iters": 2,
+                 "keyframe_every": 2, "map_every": 2, "sample": 128},
+        mesh={"vis": 0, "voxel_final": 0.1},
+    )
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    for idx in range(1, 16):
+        batch = dict(slam.dataset[idx])
+        if idx == 7:
+            batch["depth"] = np.zeros_like(np.asarray(batch["depth"]))
+        slam.track_frame(idx, batch)
+        while slam.tracking_idx > slam.mapping_idx + 2:
+            cur = slam.mapping_idx + 2
+            if cur >= 16:
+                break
+            slam.mapping_round(cur)
+    slam._harvest_pending_track()
+    slam._apply_pending_ba()
+    poses = slam.convert_relative_pose_npy()
+    gt = slam.pose_gt
+    err = np.array([np.linalg.norm(poses[i][:3, 3] - gt[i][:3, 3])
+                    for i in range(16)])
+    assert np.isfinite(poses).all()
+    assert err.max() < 0.10, err          # bounded through the dropout
+    assert err[-1] < err[8], err          # re-locked after the dropout
+    slam.close()
