@@ -37,7 +37,8 @@ BRICK_SIDE = 4
 BRICK_CELLS = BRICK_SIDE ** 3
 
 
-def _kernel(params_ref, pix_ref, brick_ref, table_ref, out_ref):
+def _kernel(params_ref, pix_ref, brick_ref, table_ref, out_ref, *,
+            interp="nearest"):
     """Grid: (cand_tiles, pixel_tiles); pixel axis iterates fastest.
 
     params_ref: [1, 32] SMEM — R(9), T(3), ss(6), fx, fy, cx, cy, W, H,
@@ -107,17 +108,53 @@ def _kernel(params_ref, pix_ref, brick_ref, table_ref, out_ref):
               & (cam_z >= 0.0))
 
     # Brick offsets (bases are pre-clamped into the valid volume interior)
-    ox = jnp.round(xw * inv_vox) - bx
-    oy = jnp.round(yw * inv_vox) - by
-    oz = jnp.round(zw * inv_vox) - bz
     side = float(BRICK_SIDE)
-    in_brick = ((ox >= 0.0) & (ox < side) & (oy >= 0.0) & (oy < side)
-                & (oz >= 0.0) & (oz < side))
-    o_flat = ((ox * side + oy) * side + oz).astype(jnp.int32)
-    o_flat = jnp.clip(o_flat, 0, BRICK_CELLS - 1)
+    if interp == "trilinear":
+        # Continuous voxel coordinate inside the window; 8-corner lerp via
+        # 8 per-lane gathers (still all-vreg). Valid iff the whole corner
+        # cube lies inside the window. Matches the XLA brick path's
+        # hat-weight select-sum exactly (rotracker._eval_tier_brick).
+        fxc = xw * inv_vox - bx
+        fyc = yw * inv_vox - by
+        fzc = zw * inv_vox - bz
+        in_brick = ((fxc >= 0.0) & (fxc <= side - 1.0)
+                    & (fyc >= 0.0) & (fyc <= side - 1.0)
+                    & (fzc >= 0.0) & (fzc <= side - 1.0))
+        ix = jnp.clip(jnp.floor(fxc), 0.0, side - 2.0)
+        iy = jnp.clip(jnp.floor(fyc), 0.0, side - 2.0)
+        iz = jnp.clip(jnp.floor(fzc), 0.0, side - 2.0)
+        tx = jnp.clip(fxc - ix, 0.0, 1.0)
+        ty = jnp.clip(fyc - iy, 0.0, 1.0)
+        tz = jnp.clip(fzc - iz, 0.0, 1.0)
+        S, S2 = BRICK_SIDE, BRICK_SIDE * BRICK_SIDE
+        o000 = ((ix * side + iy) * side + iz).astype(jnp.int32)
+        b = brick_ref[:]
+        v000 = jnp.take_along_axis(b, o000, axis=1)
+        v001 = jnp.take_along_axis(b, o000 + 1, axis=1)
+        v010 = jnp.take_along_axis(b, o000 + S, axis=1)
+        v011 = jnp.take_along_axis(b, o000 + S + 1, axis=1)
+        v100 = jnp.take_along_axis(b, o000 + S2, axis=1)
+        v101 = jnp.take_along_axis(b, o000 + S2 + 1, axis=1)
+        v110 = jnp.take_along_axis(b, o000 + S2 + S, axis=1)
+        v111 = jnp.take_along_axis(b, o000 + S2 + S + 1, axis=1)
+        c00 = v000 + tz * (v001 - v000)
+        c01 = v010 + tz * (v011 - v010)
+        c10 = v100 + tz * (v101 - v100)
+        c11 = v110 + tz * (v111 - v110)
+        c0 = c00 + ty * (c01 - c00)
+        c1 = c10 + ty * (c11 - c10)
+        vals = c0 + tx * (c1 - c0)
+    else:
+        ox = jnp.round(xw * inv_vox) - bx
+        oy = jnp.round(yw * inv_vox) - by
+        oz = jnp.round(zw * inv_vox) - bz
+        in_brick = ((ox >= 0.0) & (ox < side) & (oy >= 0.0) & (oy < side)
+                    & (oz >= 0.0) & (oz < side))
+        o_flat = ((ox * side + oy) * side + oz).astype(jnp.int32)
+        o_flat = jnp.clip(o_flat, 0, BRICK_CELLS - 1)
 
-    # ONE per-lane gather from each pixel's brick row
-    vals = jnp.take_along_axis(brick_ref[:], o_flat, axis=1)
+        # ONE per-lane gather from each pixel's brick row
+        vals = jnp.take_along_axis(brick_ref[:], o_flat, axis=1)
 
     valid = ok & in_img & in_brick
     err = jnp.where(valid, jnp.abs(vals - gt), 0.0)
@@ -134,21 +171,23 @@ def _kernel(params_ref, pix_ref, brick_ref, table_ref, out_ref):
     out_ref[1:2, :] = out_ref[1:2, :] + sc
 
 
-@partial(jax.jit, static_argnames=("n_cand", "n_pix"))
+@partial(jax.jit, static_argnames=("n_cand", "n_pix", "interp"))
 def brick_eval(params: jnp.ndarray, pix: jnp.ndarray, bricks: jnp.ndarray,
-               table: jnp.ndarray, *, n_cand: int, n_pix: int):
+               table: jnp.ndarray, *, n_cand: int, n_pix: int,
+               interp: str = "nearest"):
     """Fused candidate scoring.
 
     params: [32] f32 (see _kernel); pix: [n_pix, 16]; bricks: [n_pix, 128];
     table: [8, n_cand] (rows 0..5 = candidate components, rows 6..7 unused).
-    n_pix % PIX_TILE == 0, n_cand % 128 == 0. Returns value [n_cand]
-    = sum/count.
+    n_pix % PIX_TILE == 0, n_cand % 128 == 0. interp: 'nearest' (reference
+    semantics) or 'trilinear' (8-corner lerp inside the window). Returns
+    value [n_cand] = sum/count.
     """
     cand_tiles = n_cand // LANES
     pixel_tiles = n_pix // PIX_TILE
 
     out = pl.pallas_call(
-        _kernel,
+        partial(_kernel, interp=interp),
         interpret=jax.default_backend() != "tpu",
         grid=(cand_tiles, pixel_tiles),
         in_specs=[

@@ -118,6 +118,20 @@ class ROTracker:
         # large-search iterations / far pixels).
         self.eval_mode = ro.get("eval_mode", "gather")
         self.brick_r = int(ro.get("brick_radius", 2))  # brick edge = 2r
+        # 'nearest' (reference semantics, ROtracker.py:244-259): candidate
+        # fitness reads the voxel nearest each perturbed vertex, so the
+        # per-pixel cost is piecewise constant within a voxel. 'trilinear'
+        # interpolates the 8 surrounding cells of the same fetched window —
+        # a smooth fitness landscape for sub-voxel pose refinement at a few
+        # extra VPU ops per (candidate, pixel). Brick/pallas only: the
+        # exact-gather mode would need 8 random HBM gathers per pair.
+        self.tsdf_interp = str(ro.get("tsdf_interp", "nearest"))
+        if self.tsdf_interp not in ("nearest", "trilinear"):
+            raise ValueError(f"unknown RO.tsdf_interp {self.tsdf_interp!r}")
+        if self.tsdf_interp == "trilinear" \
+                and self.eval_mode not in ("brick", "pallas"):
+            raise ValueError(
+                "RO.tsdf_interp=trilinear requires eval_mode brick|pallas")
 
         self.init_size = float(ro["init_size"])
         self.scaling_coefficient = float(ro["scaling_coefficient"])
@@ -595,21 +609,44 @@ class ROTracker:
         py = jnp.floor(cam_y * K[1, 1] / safe_z + K[1, 2] + 0.5)
         in_img = (px >= 0) & (py >= 0) & (px < W) & (py < H) & (cam_z >= 0)
 
-        ox = jnp.round((xw - origin[0]) * inv_vox).astype(jnp.int32) \
-            - base[None, :, 0]
-        oy = jnp.round((yw - origin[1]) * inv_vox).astype(jnp.int32) \
-            - base[None, :, 1]
-        oz = jnp.round((zw - origin[2]) * inv_vox).astype(jnp.int32) \
-            - base[None, :, 2]
-        in_brick = ((ox >= 0) & (ox < side) & (oy >= 0) & (oy < side)
-                    & (oz >= 0) & (oz < side))
-        o_flat = (ox * side + oy) * side + oz  # [C, P]
+        if self.tsdf_interp == "trilinear":
+            # Smooth fitness: hat-weighted sum over the window cells — the
+            # separable weights are nonzero only for the 8 corners around
+            # the continuous voxel coordinate, so this IS trilinear
+            # interpolation, expressed as the same fused VPU select-sum
+            # shape XLA already handles well. Valid iff the full corner
+            # cube lies inside the window.
+            fx = (xw - origin[0]) * inv_vox - base[None, :, 0]
+            fy = (yw - origin[1]) * inv_vox - base[None, :, 1]
+            fz = (zw - origin[2]) * inv_vox - base[None, :, 2]
+            in_brick = ((fx >= 0) & (fx <= side - 1)
+                        & (fy >= 0) & (fy <= side - 1)
+                        & (fz >= 0) & (fz <= side - 1))
+            tsdf_v = jnp.zeros_like(xw)
+            for idx in range(n_cells):
+                cx = idx // (side * side)
+                cy = (idx // side) % side
+                cz = idx % side
+                w = (jnp.maximum(0.0, 1.0 - jnp.abs(fx - cx))
+                     * jnp.maximum(0.0, 1.0 - jnp.abs(fy - cy))
+                     * jnp.maximum(0.0, 1.0 - jnp.abs(fz - cz)))
+                tsdf_v = tsdf_v + w * brick[None, :, idx]
+        else:
+            ox = jnp.round((xw - origin[0]) * inv_vox).astype(jnp.int32) \
+                - base[None, :, 0]
+            oy = jnp.round((yw - origin[1]) * inv_vox).astype(jnp.int32) \
+                - base[None, :, 1]
+            oz = jnp.round((zw - origin[2]) * inv_vox).astype(jnp.int32) \
+                - base[None, :, 2]
+            in_brick = ((ox >= 0) & (ox < side) & (oy >= 0) & (oy < side)
+                        & (oz >= 0) & (oz < side))
+            o_flat = (ox * side + oy) * side + oz  # [C, P]
 
-        # Fused select-sum over the brick cells (static loop — all VPU).
-        tsdf_v = jnp.zeros_like(xw)
-        for idx in range(n_cells):
-            tsdf_v = tsdf_v + jnp.where(o_flat == idx, brick[None, :, idx],
-                                        0.0)
+            # Fused select-sum over the brick cells (static loop — all VPU).
+            tsdf_v = jnp.zeros_like(xw)
+            for idx in range(n_cells):
+                tsdf_v = tsdf_v + jnp.where(o_flat == idx,
+                                            brick[None, :, idx], 0.0)
 
         valid = pix_ok[None, :] & in_img & in_brick
         add = jnp.abs(tsdf_v - gt[None, :])
@@ -672,7 +709,8 @@ class ROTracker:
             jnp.zeros(7, jnp.float32),  # pad to 32
         ])
         return brick_eval(params, pix, bricks, table_t,
-                          n_cand=table_t.shape[1], n_pix=n_pix_p)
+                          n_cand=table_t.shape[1], n_pix=n_pix_p,
+                          interp=self.tsdf_interp)
 
     # ------------------------------------------------------ transform step
 

@@ -350,3 +350,130 @@ def test_quad_pack_bm_roll_mirror_rows_bitwise():
     got = mirror[rows]                                   # [M, 4]
     want = np.stack([dense[xs, ys, zs + k] for k in range(4)], -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_trilinear_requires_window_mode():
+    cfg = tiny_config(RO={"tsdf_interp": "trilinear"})
+    ds = get_dataset(cfg)
+    with pytest.raises(ValueError):
+        ROTracker(cfg, ds.H, ds.W, ds.K(), (80, 80, 80), 0.05)
+
+
+def test_trilinear_identity_exact_on_linear_field():
+    """Trilinear interpolation is exact on a linear TSDF field, so the
+    identity candidate's brick-mode fitness must equal the analytic
+    mean |a.p + d| over the tier's valid pixels. Nearest-mode would be
+    off by the per-voxel quantization; this pins the interpolation (and
+    its validity semantics) end to end."""
+    cfg = tiny_config(RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1],
+                          "eval_mode": "brick",
+                          "tsdf_interp": "trilinear"})
+    ds = get_dataset(cfg)
+    dims = (80, 80, 80)
+    vox = 0.05
+    origin = np.zeros(3, np.float32)
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), dims, vox)
+
+    a = np.array([0.011, -0.007, 0.016], np.float32)
+    d0 = np.float32(0.003)
+    ii, jj, kk = np.meshgrid(np.arange(dims[0]), np.arange(dims[1]),
+                             np.arange(dims[2]), indexing="ij")
+    field = (a[0] * (origin[0] + ii * vox)
+             + a[1] * (origin[1] + jj * vox)
+             + a[2] * (origin[2] + kk * vox) + d0).astype(np.float32)
+    tsdf_flat = jnp.asarray(field.reshape(-1))
+
+    f = ds[3]
+    depth = jnp.asarray(f["depth"])
+    R = jnp.asarray(f["c2w"][:3, :3])
+    T = jnp.asarray(f["c2w"][:3, 3])
+    ss = jnp.full(6, 0.01)
+    level = 4
+    vn = (None, None, depth)
+    table = tr.pst[0][0]
+    vb = np.asarray(jax.jit(lambda: tr._eval_tier_brick(
+        table, level, 0, R, T, ss, vn, tsdf_flat,
+        jnp.asarray(origin)))())
+
+    # analytic identity-candidate cost with the same validity semantics
+    v, _, pix_ok = tr._tier_pixels(vn, level, 0)
+    v = np.asarray(v)
+    pix_ok = np.asarray(pix_ok)
+    K = np.asarray(ds.K())
+    p0 = v[:, :3] @ np.asarray(f["c2w"][:3, :3]).T + np.asarray(
+        f["c2w"][:3, 3])
+    fcoord = (p0 - origin) / vox
+    v0 = np.round(fcoord).astype(np.int64)
+    side = 4
+    base = np.clip(v0 - 2, 1, np.asarray(dims) - 1 - side)
+    frel = fcoord - base
+    in_brick = ((frel >= 0) & (frel <= side - 1)).all(-1)
+    cam = v[:, :3]
+    safe_z = np.where(cam[:, 2] != 0, cam[:, 2], 1e-9)
+    px = np.floor(cam[:, 0] * K[0, 0] / safe_z + K[0, 2] + 0.5)
+    py = np.floor(cam[:, 1] * K[1, 1] / safe_z + K[1, 2] + 0.5)
+    in_img = ((px >= 0) & (py >= 0) & (px < ds.W) & (py < ds.H)
+              & (cam[:, 2] >= 0))
+    valid = pix_ok & in_img & in_brick
+    val = p0 @ a + d0
+    gt = v[:, 3]
+    want = np.abs(val - gt)[valid].sum() / valid.sum()
+    assert valid.sum() > 50
+    assert abs(vb[0] - want) < 2e-4, (vb[0], want)
+
+
+def test_pallas_trilinear_matches_xla_brick_trilinear():
+    """The Pallas trilinear kernel (8-corner lerp) must reproduce the XLA
+    brick path's hat-weight select-sum."""
+    cfg = tiny_config(RO={"particle_iter_lens": 4, "depth_level": [4, 2, 1],
+                          "PST_size": [256, 128, 128],
+                          "eval_mode": "brick",
+                          "tsdf_interp": "trilinear"},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=4)
+    tr = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                   brick_layout=mv.brick_layout())
+
+    f = ds[3]
+    depth = jnp.asarray(f["depth"])
+    tsdf_flat = mv.state.tsdf.reshape(-1)
+    R = jnp.asarray(f["c2w"][:3, :3])
+    T = jnp.asarray(f["c2w"][:3, 3])
+    ss = jnp.full(6, 0.02)
+    for cls, lvl in ((0, 4), (2, 1)):
+        table = tr.pst[cls][0]
+        table_t = tr.pst_t[cls][0]
+        vn = (None, None, depth)
+        vb = np.asarray(jax.jit(lambda: tr._eval_tier_brick(
+            table, lvl, 0, R, T, ss, vn, tsdf_flat,
+            mv.state.origin))())
+        vp = np.asarray(jax.jit(lambda: tr._eval_tier_pallas(
+            table_t, lvl, 0, R, T, ss, vn, tsdf_flat,
+            mv.state.origin))())
+        assert vp.shape == vb.shape
+        assert np.abs(vp - vb).max() < 5e-3, (cls, np.abs(vp - vb).max())
+        assert np.abs(vp - vb).mean() < 1e-4
+
+
+def test_trilinear_mode_tracks():
+    cfg = tiny_config(RO={"particle_iter_lens": 10, "init_size": 0.03,
+                          "count_search": 100, "depth_level": [4, 2, 1],
+                          "eval_mode": "brick",
+                          "tsdf_interp": "trilinear"},
+                      volume={"voxel_size": 0.025})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=5)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                        brick_layout=mv.brick_layout())
+    f = ds[5]
+    gt = f["c2w"]
+    noisy = gt.copy()
+    noisy[:3, 3] += np.array([0.03, -0.02, 0.02], np.float32)
+    err_before = np.abs(noisy[:3, 3] - gt[:3, 3]).mean()
+    res = tracker.do_tracking(mv.state, noisy, jnp.asarray(f["depth"]),
+                              jax.random.PRNGKey(0))
+    out = np.asarray(res.c2w)
+    err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
+    assert np.isfinite(out).all()
+    assert err_after < err_before * 0.8
