@@ -183,6 +183,9 @@ def brick_eval(params: jnp.ndarray, pix: jnp.ndarray, bricks: jnp.ndarray,
     semantics) or 'trilinear' (8-corner lerp inside the window). Returns
     value [n_cand] = sum/count.
     """
+    if interp not in ("nearest", "trilinear"):
+        raise ValueError(f"interp must be 'nearest' or 'trilinear', "
+                         f"got {interp!r}")
     cand_tiles = n_cand // LANES
     pixel_tiles = n_pix // PIX_TILE
 

@@ -985,14 +985,19 @@ class RemixFusionTPU:
 
     # ------------------------------------------------------------ mapping
 
-    def global_mapping(self, batch, cur_frame_id):
+    def global_mapping(self, batch, cur_frame_id, n_cur=None):
         """(reference mapper.py:366-423). Poses ride to the device once; the
         current keyframe's pose comes from the (detached) RBA forward inside
-        the program (reference mapper.py:385-390)."""
+        the program (reference mapper.py:385-390). n_cur overrides the
+        current-frame ray slice (None = the online budget; 0 = sample the
+        keyframe store only — used by the offline finalize refinement,
+        where the 'current' frame is already in the store and a dedicated
+        slice would double-weight its view)."""
         kf_every = self.config["mapping"]["keyframe_every"]
         iters = self.config["mapping"]["iters"]
         cur_kf_id = cur_frame_id // kf_every
-        n_cur = self.mapper.current_ray_budget(len(self.kfdb))
+        if n_cur is None:
+            n_cur = self.mapper.current_ray_budget(len(self.kfdb))
 
         kf_poses = np.zeros((self.num_kf, 4, 4), np.float32)
         n_valid = cur_kf_id + 1
@@ -1238,13 +1243,16 @@ class RemixFusionTPU:
         # final (BA-refined) poses, before mesh extraction. Poses are NOT
         # re-optimized — this polishes the residual field/decoders against
         # everything the run saw. Runs as ceil(final_iters / iters) calls
-        # of the already-compiled map step; 0 (the default) disables it.
+        # of the map step with n_cur=0 (store-only sampling: the newest
+        # keyframe is already in the store at finalize, so the online
+        # current-frame slice would double-weight its view); 0 (the
+        # default) disables it.
         final_iters = int(self.config["mapping"].get("final_iters", 0))
         if final_iters > 0 and self.mapping_idx > 0:
             iters = self.config["mapping"]["iters"]
             batch = self._get_frame(self.mapping_idx)
             for _ in range(-(-final_iters // iters)):
-                self.global_mapping(batch, self.mapping_idx)
+                self.global_mapping(batch, self.mapping_idx, n_cur=0)
         poses_np = self.convert_relative_pose_npy()
         np.save(os.path.join(self.out_dir, "all_poses.npy"), poses_np)
         if self.viewer is not None:  # final full trajectory for the page

@@ -166,6 +166,25 @@ class ROTracker:
         levels = [self.class_level[i % 3]
                   for i in range(len(pst_mod.DEPTH_LEVEL))]
         self.depth_level = jnp.asarray(np.asarray(levels, np.int32))
+        # Resolution-scaled tier strides: the reference's DEPTH_LEVEL values
+        # are absolute pixel strides, so its tier pixel count grows linearly
+        # with image area (at 1280x720 the finest tier runs 2.88x the pixels
+        # of 640x480 for no tracking benefit — the candidate scoring cost is
+        # per-pixel-row on TPU). RO.pix_ref (default [480, 640]) rescales
+        # each tier's row/col strides so the SUBGRID SHAPE (and therefore
+        # the per-iteration cost) matches the reference resolution at any
+        # input size; strides never drop below the reference values
+        # (resolutions at or below pix_ref behave exactly as before).
+        # RO.pix_ref: null opts out (reference-absolute strides).
+        pix_ref = ro.get("pix_ref", [480, 640])
+        self.tier_strides = {}
+        for lv in set(self.class_level):
+            if pix_ref:
+                sr = max(lv, round(lv * self.H / int(pix_ref[0])))
+                sc = max(lv, round(lv * self.W / int(pix_ref[1])))
+            else:
+                sr = sc = lv
+            self.tier_strides[lv] = (sr, sc)
 
         self._track = jax.jit(self._build_track())
 
@@ -288,8 +307,11 @@ class ROTracker:
         subgrid. vn = (vertex|None, normal|None, depth): full-image maps
         when the perturbed path is active, else computed at the subset."""
         vertex, normal, depth = vn
-        rows = jnp.arange(self.H // level) * level + level_index
-        cols = jnp.arange(self.W // level) * level + level_index
+        sr, sc = self.tier_strides[level]
+        # level_index rotates in [0, level) and level <= sr/sc, so the
+        # offset stays inside one stride cell on both axes.
+        rows = jnp.arange(self.H // sr) * sr + level_index
+        cols = jnp.arange(self.W // sc) * sc + level_index
         if vertex is None:
             v, n = self._vertex_normal_at(depth, rows, cols)
         else:
@@ -570,7 +592,8 @@ class ROTracker:
         qv = table_slab[:, 3:] * ss[None, 3:]
         q0 = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(qv * qv, -1), 1e-12))
 
-        n_pix = (H // level) * (W // level)
+        sr, sc = self.tier_strides[level]
+        n_pix = (H // sr) * (W // sc)
         if n_pix >= 2048:
             # Large-pixel tiers: per-candidate rotations as one MXU matmul
             # (cam = (R^T Rc) g + R^T t_c; world recovered as R cam + T).

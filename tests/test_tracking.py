@@ -477,3 +477,60 @@ def test_trilinear_mode_tracks():
     err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
     assert np.isfinite(out).all()
     assert err_after < err_before * 0.8
+
+
+def test_tier_strides_scale_with_resolution():
+    """RO.pix_ref rescales tier strides so the tier SUBGRID SHAPE (and the
+    per-iteration scoring cost) is resolution-independent: at 1280x720 the
+    default [480, 640] reference gives exactly the VGA subgrids; at or
+    below pix_ref the strides clamp to the reference-absolute DEPTH_LEVEL
+    values (bitwise-identical behavior); pix_ref: null opts out."""
+    cfg = tiny_config()
+    K = np.eye(3, dtype=np.float32)
+    tr = ROTracker(cfg, 720, 1280, K, (80, 80, 80), 0.05)
+    assert tr.tier_strides == {32: (48, 64), 16: (24, 32), 8: (12, 16)}
+    depth = jnp.ones((720, 1280), jnp.float32)
+    for lvl, n_vga in ((32, (480 // 32) * (640 // 32)),
+                       (16, (480 // 16) * (640 // 16)),
+                       (8, (480 // 8) * (640 // 8))):
+        v, n, ok = tr._tier_pixels((None, None, depth), lvl, 1)
+        if lvl == 8:
+            assert v.shape[0] == n_vga == 4800
+    # at/below the reference resolution: strides == levels (unchanged path)
+    tr_vga = ROTracker(cfg, 480, 640, K, (80, 80, 80), 0.05)
+    assert tr_vga.tier_strides == {32: (32, 32), 16: (16, 16), 8: (8, 8)}
+    tr_small = ROTracker(cfg, 48, 64, K, (80, 80, 80), 0.05)
+    assert tr_small.tier_strides == {32: (32, 32), 16: (16, 16), 8: (8, 8)}
+    # opt-out restores reference-absolute strides at any resolution
+    cfg_off = tiny_config(RO={"pix_ref": None})
+    tr_off = ROTracker(cfg_off, 720, 1280, K, (80, 80, 80), 0.05)
+    assert tr_off.tier_strides == {32: (32, 32), 16: (16, 16), 8: (8, 8)}
+
+
+def test_tracking_converges_with_scaled_strides():
+    """End-to-end: a 2x-resolution dataset tracked with pix_ref at the 1x
+    size (strides doubled, VGA-class pixel counts) still recovers a
+    perturbed pose."""
+    cfg = tiny_config(RO={"particle_iter_lens": 12, "init_size": 0.04,
+                          "count_search": 100, "depth_level": [4, 2, 1],
+                          "pix_ref": [48, 64]},
+                      volume={"voxel_size": 0.025},
+                      cam={"H": 96, "W": 128, "fx": 80.0, "fy": 80.0,
+                           "cx": 63.5, "cy": 47.5, "png_depth_scale": 1.0})
+    ds = get_dataset(cfg)
+    mv = build_tracked_volume(cfg, ds, n_frames=5)
+    tracker = ROTracker(cfg, ds.H, ds.W, ds.K(), mv.dims, mv.voxel_size,
+                        brick_layout=mv.brick_layout())
+    assert tracker.tier_strides == {4: (8, 8), 2: (4, 4), 1: (2, 2)}
+    f = ds[5]
+    gt = f["c2w"]
+    noisy = gt.copy()
+    noisy[:3, 3] += np.array([0.04, -0.03, 0.025], np.float32)
+    err_before = np.abs(noisy[:3, 3] - gt[:3, 3]).mean()
+    res = tracker.do_tracking(mv.state, noisy, jnp.asarray(f["depth"]),
+                              jax.random.PRNGKey(0))
+    out = np.asarray(res.c2w)
+    err_after = np.abs(out[:3, 3] - gt[:3, 3]).mean()
+    assert np.isfinite(out).all()
+    assert err_after < err_before * 0.8, (err_before, err_after)
+    assert err_after < 0.03
