@@ -776,6 +776,20 @@ class RemixFusionTPU:
     def _harvest_one(self):
         frame_id, res, init = self._pending_track.pop(0)
         c2w = np.asarray(res.c2w)
+        if not np.isfinite(c2w).all():
+            # Non-finite tracked pose (reference warns on NaN poses,
+            # slam.py:243-247; we also recover): substitute the host
+            # extrapolation and reset the device pose chain so later
+            # dispatches do not inherit the poisoned values. Frames already
+            # in flight were predicted from the bad chain and will take
+            # this same path when harvested.
+            sub = self._host_pose_estimate(frame_id)
+            print(f"WARNING: non-finite tracked pose at frame {frame_id}; "
+                  f"substituting const-speed extrapolation")
+            c2w = sub.astype(np.float32)
+            dev = jax.device_put(jnp.asarray(c2w))
+            self._dev_pose_prev = dev
+            self._dev_pose_prev2 = dev
         self._last_harvested = (self._last_harvested + [(frame_id, c2w)])[-2:]
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w

@@ -308,10 +308,12 @@ class ROTracker:
         when the perturbed path is active, else computed at the subset."""
         vertex, normal, depth = vn
         sr, sc = self.tier_strides[level]
-        # level_index rotates in [0, level) and level <= sr/sc, so the
-        # offset stays inside one stride cell on both axes.
-        rows = jnp.arange(self.H // sr) * sr + level_index
-        cols = jnp.arange(self.W // sc) * sc + level_index
+        # level_index rotates in [0, level); rescale the offset to the
+        # stride so the rotation sweeps the WHOLE stride cell on both axes
+        # (with sr/sc > level a raw offset would only ever sample the
+        # first `level` rows/cols of each cell).
+        rows = jnp.arange(self.H // sr) * sr + (level_index * sr) // level
+        cols = jnp.arange(self.W // sc) * sc + (level_index * sc) // level
         if vertex is None:
             v, n = self._vertex_normal_at(depth, rows, cols)
         else:

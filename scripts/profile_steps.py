@@ -144,9 +144,11 @@ def main():
             ms = timeit(lambda: f(*a), args.reps)
             C = int(table.shape[-1] if tr.eval_mode == "pallas"
                     else table.shape[0])
-            P = (im_h // level) * (im_w // level)
-            print(f"  eval tier{cls} (C={C}, P={P}, stride {level}): "
-                  f"{ms:.2f} ms")
+            sr, sc = tr.tier_strides[level]
+            P = (im_h // sr) * (im_w // sc)
+            print(f"  eval tier{cls} (C={C}, P={P}, strides {sr}x{sc}): "
+                  f"{ms:.2f} ms  [standalone: includes a per-call mirror "
+                  f"rebuild — ranks tiers, xprof prices them]")
 
     # --- global tiled integrate (donates gbv/gbw -> chain the buffers) ---
     if prof == "late":

@@ -236,3 +236,32 @@ def test_depth_dropout_frame_recovery(tmp_path):
     assert err.max() < 0.10, err          # bounded through the dropout
     assert err[-1] < err[8], err          # re-locked after the dropout
     slam.close()
+
+
+def test_nonfinite_pose_harvest_recovers(tmp_path):
+    """A non-finite tracked pose (reference warns on NaN poses,
+    slam.py:243-247) is replaced by the host const-speed extrapolation and
+    the device pose chain is reset, so the run continues on finite poses."""
+    import jax.numpy as jnp
+
+    cfg = small_cfg(tmp_path)
+    slam = RemixFusionTPU(cfg)
+    slam.first_frame_mapping()
+    slam.track_frame(1, slam.dataset[1])
+    slam.track_frame(2, slam.dataset[2])
+    slam._harvest_pending_track()
+    assert np.isfinite(slam.est_c2w_data[:3]).all()
+
+    class FakeRes:
+        c2w = jnp.full((4, 4), jnp.nan)
+    slam._pending_track.append((3, FakeRes(), np.eye(4, dtype=np.float32)))
+    slam._harvest_pending_track()
+    assert np.isfinite(slam.est_c2w_data[3]).all()
+    assert np.isfinite(np.asarray(slam._dev_pose_prev)).all()
+    assert np.isfinite(np.asarray(slam._dev_pose_prev2)).all()
+    # the substituted pose is the const-speed extrapolation from the last
+    # two clean harvests
+    exp = slam._const_speed_np(slam.est_c2w_data[2], slam.est_c2w_data[1],
+                               steps=1)
+    np.testing.assert_allclose(slam.est_c2w_data[3], exp, atol=1e-5)
+    slam.close()
