@@ -266,15 +266,25 @@ def main():
     # 120-frame window (tunnel/queue jitter is ±1.5 FPS on 90 frames); the
     # default config is the SHIPPED representation (CPGrid residual field +
     # pallas tracking — what configs/BS3D etc. run), not a speed profile.
-    n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
     warmup = int(os.environ.get("BENCH_WARMUP", "30"))
 
     cfg_name = os.environ.get("BENCH_CONFIG",
                               "configs/Synthetic/synthetic_bench.yaml")
     cfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    cfg_name))
-    cfg["data"]["synthetic"]["n_frames"] = n_frames
-    cfg["data"]["synthetic"]["orbit_degrees"] = 1.2 * n_frames  # ~2.5 cm/frame camera speed
+    if cfg["dataset"] == "synthetic":
+        # orbit scene: frame count sets the trajectory (camera speed pinned
+        # at ~2.5 cm/frame via orbit_degrees)
+        n_frames = int(os.environ.get("BENCH_FRAMES", "200"))
+        cfg["data"]["synthetic"]["n_frames"] = n_frames
+        cfg["data"]["synthetic"]["orbit_degrees"] = 1.2 * n_frames
+    else:
+        # waypoint scenes (synthetic_large): the config's frame count IS
+        # the trajectory speed — only an explicit BENCH_FRAMES overrides
+        if os.environ.get("BENCH_FRAMES"):
+            cfg["data"]["synthetic"]["n_frames"] = \
+                int(os.environ["BENCH_FRAMES"])
+        n_frames = int(cfg["data"]["synthetic"]["n_frames"])
     if os.environ.get("BENCH_SEED"):
         # seed-sensitivity studies: the tracker's vertex perturbation and
         # the map rounds' ray sampling are PRNG-driven, so single-run ATE

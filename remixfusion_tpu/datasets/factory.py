@@ -15,6 +15,9 @@ def get_dataset(config):
     if name == "synthetic":
         from remixfusion_tpu.datasets.synthetic import SyntheticDataset
         return SyntheticDataset(config)
+    if name == "syntheticlarge":
+        from remixfusion_tpu.datasets.synthetic import SyntheticLargeDataset
+        return SyntheticLargeDataset(config)
 
     from remixfusion_tpu.datasets import loaders
 

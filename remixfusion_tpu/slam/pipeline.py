@@ -20,7 +20,7 @@ State (all owned here):
   - est_c2w_data_rel      : [N, 4, 4] np — keyframe-relative deltas
   - RO_c2w_data           : [N, 4, 4] np — raw tracking poses
   - MovingVolume          : local TSDF (device) + host re-center policy
-  - KeyFrameDatabase      : host ray store
+  - DeviceKeyFrameStore   : HBM-resident keyframe ray store (in-jit sampling)
 """
 
 from __future__ import annotations
@@ -35,7 +35,6 @@ import numpy as np
 
 from remixfusion_tpu.core import pose as pose_math
 from remixfusion_tpu.datasets import get_dataset
-from remixfusion_tpu.mapping.keyframe import KeyFrameDatabase
 from remixfusion_tpu.mapping.mapper import Mapper
 from remixfusion_tpu.models.scene_rep import SceneRepresentation
 from remixfusion_tpu.tools.eval_ate import pose_evaluation

@@ -1,0 +1,269 @@
+"""Round-4 evidence tests: grid-alignment deviation bound, large-scale
+corridor scene invariants, and the batched analytic renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helpers import tiny_config
+from remixfusion_tpu.datasets import get_dataset
+from remixfusion_tpu.mapping.mapper import Mapper
+from remixfusion_tpu.models.scene_rep import SceneRepresentation
+
+
+def _tcnn_trilinear(gbv: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Reference read path emulation: tcnn's dense grid places node j at
+    normalized coordinate (j - 0.5) / (R - 1) (see scene_rep.py module
+    docstring; reference model/scene_rep.py:60-93 reads GBV through tcnn
+    while the fusion kernel mapper.py:78-80 writes voxel i at i/R — a
+    ~half-voxel reader/writer misalignment the reference tolerates)."""
+    R = gbv.shape[0]
+    pos = pts * (R - 1) + 0.5
+    low = np.clip(np.floor(pos).astype(np.int32), 0, R - 2)
+    frac = np.clip(pos - low, 0.0, 1.0)
+    out = np.zeros((len(pts), gbv.shape[-1]), np.float64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, frac[:, 0], 1 - frac[:, 0])
+                     * np.where(dy, frac[:, 1], 1 - frac[:, 1])
+                     * np.where(dz, frac[:, 2], 1 - frac[:, 2]))
+                out += w[:, None] * gbv[low[:, 0] + dx, low[:, 1] + dy,
+                                        low[:, 2] + dz]
+    return out
+
+
+def test_grid_alignment_deviation_bounded():
+    """Turns the 'strictly more self-consistent' grid-alignment claim
+    (models/scene_rep.py:18-23) into a measured bound: fuse frames into
+    the global grid, then query the explicit TSDF at off-node points under
+    (a) the shipped aligned reader (node i at i/R — the writer's own
+    convention) and (b) a tcnn-convention reader ((j-0.5)/(R-1), the
+    reference's half-voxel-misaligned read path). The reader delta must
+    stay inside the half-voxel Lipschitz bound of the fused field, and the
+    aligned reader must reproduce the depth-derived expected TSDF at least
+    as accurately as the misaligned one."""
+    cfg = tiny_config()
+    ds = get_dataset(cfg)
+    bound = np.asarray(cfg["mapping"]["bound"], np.float32)
+    scene = SceneRepresentation(cfg, bound, num_kf=8)
+    params, buffers = scene.init(jax.random.PRNGKey(0))
+    mapper = Mapper(cfg, scene, params)
+    K = jnp.asarray(ds.K())
+    for i in (0, 4, 8):
+        fr = ds[i]
+        buffers = mapper.integrate_keyframe(
+            buffers, jnp.asarray(fr["depth"]), jnp.asarray(fr["rgb"]), K,
+            jnp.asarray(fr["c2w"]), bound)
+    buffers = mapper.ensure_dense(buffers)
+    gbv = np.asarray(buffers.gbv, np.float64)
+    gbw = np.asarray(buffers.gbw)
+    R = gbv.shape[0]
+
+    # off-node sample points in cells fully observed under BOTH readers
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(2.0 / R, 1.0 - 2.0 / R, (80000, 3))
+
+    def all_corners_observed(pos):
+        low = np.clip(np.floor(pos).astype(np.int32), 0, R - 2)
+        ok = np.ones(len(pos), bool)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    ok &= gbw[low[:, 0] + dx, low[:, 1] + dy,
+                              low[:, 2] + dz] > 0
+        return ok
+
+    keep = (all_corners_observed(pts * R)
+            & all_corners_observed(pts * (R - 1) + 0.5))
+    pts = pts[keep]
+    assert len(pts) > 1000
+
+    aligned = np.asarray(scene.query_gbv(buffers.gbv, jnp.asarray(
+        pts, jnp.float32)))[:, 0].astype(np.float64)
+    misaligned = _tcnn_trilinear(gbv[..., :1], pts)[:, 0]
+
+    # Lipschitz bound: the conventions differ by at most half a node
+    # spacing per axis, so |delta| <= 0.5 * sum_axis(max adjacent diff)
+    # of the trilinear field along each axis
+    t = gbv[..., 0]
+    lip = 0.5 * (np.abs(np.diff(t, axis=0)).max()
+                 + np.abs(np.diff(t, axis=1)).max()
+                 + np.abs(np.diff(t, axis=2)).max())
+    delta = np.abs(aligned - misaligned)
+    print(f"# alignment deviation: max={delta.max():.4f} "
+          f"mean={delta.mean():.4f} lipschitz_bound={lip:.4f}")
+    assert delta.max() <= lip + 1e-6
+
+    # self-consistency, isolated from fusion artifacts: write a KNOWN
+    # smooth field under the writer's convention (voxel i holds
+    # f(i / R) — integrate_keyframe's documented mapping), then read it
+    # back at off-node points. The aligned reader must reproduce f;
+    # the tcnn-convention reader samples the field half a voxel off and
+    # must be strictly worse. This is the measured form of the
+    # "strictly more self-consistent" claim.
+    ii = np.arange(R, dtype=np.float64) / R
+    gx, gy, gz = np.meshgrid(ii, ii, ii, indexing="ij")
+
+    def f(x, y, z):
+        return np.sin(4.1 * x + 1.0) * np.cos(3.7 * y) * np.sin(2.9 * z)
+
+    field = f(gx, gy, gz)[..., None].astype(np.float32)
+    field4 = np.repeat(field, 4, axis=-1)
+    qp = rng.uniform(2.0 / R, 1.0 - 2.0 / R, (20000, 3))
+    truth = f(qp[:, 0], qp[:, 1], qp[:, 2])
+    a2 = np.asarray(scene.query_gbv(jnp.asarray(field4),
+                                    jnp.asarray(qp, jnp.float32)))[:, 0]
+    m2 = _tcnn_trilinear(field4.astype(np.float64), qp)[:, 0]
+    rmse_a = float(np.sqrt(np.mean((a2 - truth) ** 2)))
+    rmse_m = float(np.sqrt(np.mean((m2 - truth) ** 2)))
+    print(f"# analytic-field rmse: aligned={rmse_a:.5f} "
+          f"tcnn-misaligned={rmse_m:.5f}")
+    assert rmse_a < 0.5 * rmse_m
+
+
+# --------------------------------------------------------- large scene
+
+
+def _large_cfg(**syn):
+    base = {"n_frames": 120, "n_rooms": 2, "room_width": 3.4,
+            "room_depth": 3.2, "corridor_width": 2.0,
+            "n_boxes_per_room": 4, "n_spheres_per_room": 2}
+    base.update(syn)
+    return tiny_config(
+        dataset="synthetic_large",
+        data={"synthetic": base},
+        mapping={"bound": [[0.0, 7.0], [0.0, 3.0], [0.0, 5.4]],
+                 "marching_cubes_bound": [[0.0, 7.0], [0.0, 3.0],
+                                          [0.0, 5.4]]})
+
+
+def test_large_scene_geometry_and_trajectory():
+    """Invariants of the multi-room corridor scene at the PRODUCTION
+    layout (synthetic_corridor.yaml knobs): building extent from the
+    layout, a tens-of-meters return-pass trajectory that stays clear of
+    every surface, smooth per-frame motion (no velocity or rotation steps
+    the const-speed tracking model cannot follow), and a map extent
+    several times the moving-volume extent."""
+    ds = get_dataset(tiny_config(
+        dataset="synthetic_large",
+        data={"synthetic": {"n_frames": 800}},
+        mapping={"bound": [[0.0, 22.0], [0.0, 3.0], [0.0, 10.0]],
+                 "marching_cubes_bound": [[0.0, 22.0], [0.0, 3.0],
+                                          [0.0, 10.0]]}))
+    Lx, Ly, Lz = ds.room_dims
+    assert abs(Lx - (3 * 7.2 + 2 * 0.2)) < 1e-9
+    assert abs(Lz - (2.8 + 0.2 + 7.0)) < 1e-9
+
+    eyes = np.stack([p[:3, 3] for p in ds.poses])
+    # trajectory: tens of meters, out-and-back along the corridor
+    assert ds.path_len > 20.0
+    assert eyes[:, 0].max() - eyes[:, 0].min() > 0.5 * Lx
+    # return pass: the trajectory ends back in the start room
+    assert np.abs(eyes[-1] - eyes[0])[0] < 1.0
+    # clearance: every camera position is at least min sensor range from
+    # every surface (walls included)
+    assert ds.gt_sdf(eyes).min() > 0.3
+    # smoothness
+    dt = np.linalg.norm(np.diff(eyes, axis=0), axis=1)
+    assert np.abs(np.diff(dt)).max() < 0.02  # velocity steps < 2 cm/f^2
+    R = np.stack([p[:3, :3] for p in ds.poses])
+    dR = np.einsum("nij,nkj->nik", R[1:], R[:-1])
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(dR, axis1=1, axis2=2) - 1) / 2, -1, 1)))
+    assert ang.max() < 8.0
+    assert np.abs(np.diff(ang)).max() < 1.5  # rotation acceleration
+    # poses are valid rotations
+    assert (np.abs(np.linalg.det(R) - 1.0) < 1e-5).all()
+    # map extent >> the BS3D-class moving volume of the corridor config
+    assert Lx > 1.5 * 12.0
+
+
+def test_large_scene_doors_are_open_and_walls_solid():
+    """Rendering through a doorway must see the corridor (no phantom wall
+    at the opening), while the wall next to the door is solid."""
+    ds = get_dataset(_large_cfg())
+    cw, w = ds.corridor_w, ds.wall
+    d0 = ds._door_x[0]
+    Ly = ds.height
+    eye_y = Ly - ds.eye_h
+    from remixfusion_tpu.datasets.synthetic import _look_at
+    # stand inside room 0, 2 m north of its door, looking south at it
+    eye = np.array([d0, eye_y, cw + w + 2.0])
+    pose = _look_at(eye, np.array([d0, eye_y, 0.0]))
+    rgb, depth = ds.render(pose)
+    H, W = depth.shape
+    # center ray passes through the open door: depth reaches the corridor's
+    # far (south) wall, well beyond the room-side wall face
+    wall_dist = 2.0
+    assert depth[H // 2, W // 2] > wall_dist + 0.5
+    # rays toward the wall beside the door stop at the wall face
+    side = depth[H // 2, W // 8]
+    assert side == 0.0 or side < wall_dist + w + 1.0
+    # SDF agrees: a point in the door opening is free space, a point inside
+    # the adjacent wall segment is negative
+    door_pt = np.array([[d0, eye_y, cw + w / 2]])
+    wall_pt = np.array([[d0 + ds.door_w / 2 + 0.4, eye_y, cw + w / 2]])
+    assert ds.gt_sdf(door_pt)[0] > 0.3
+    assert ds.gt_sdf(wall_pt)[0] < 0.0
+
+
+def test_large_scene_rooms_have_distinct_clutter():
+    ds = get_dataset(_large_cfg())
+    cw, w = ds.corridor_w, ds.wall
+    counts = []
+    for i in range(ds.n_rooms):
+        x0 = ds._room_x0[i]
+        n = sum(1 for lo, hi in ds.boxes
+                if lo[2] > cw + w - 1e-6 and x0 - 1e-6 <= lo[0]
+                and hi[0] <= x0 + ds.room_w + 1e-6
+                and (hi - lo).max() < 2.0)  # clutter, not walls
+        n += sum(1 for c, _ in ds.spheres
+                 if x0 <= c[0] <= x0 + ds.room_w and c[2] > cw + w)
+        counts.append(n)
+    assert min(counts) >= 2  # every room keeps observable clutter
+
+
+def test_large_scene_render_depth_matches_sdf():
+    """Exactness cross-check: along random rays of a rendered frame, the
+    analytic SDF evaluated at the hit point is ~0 and at points before the
+    hit is positive (no surface was skipped)."""
+    ds = get_dataset(_large_cfg())
+    f = ds[30]
+    depth, c2w = f["depth"], f["c2w"]
+    dirs = f["direction"]
+    H, W = depth.shape
+    rng = np.random.default_rng(1)
+    ii = rng.integers(0, H, 200)
+    jj = rng.integers(0, W, 200)
+    d = depth[ii, jj]
+    ok = d > 0
+    ii, jj, d = ii[ok], jj[ok], d[ok]
+    rays_w = dirs[ii, jj] @ c2w[:3, :3].T
+    # z-depth -> ray parameter: t = d / (ray . fwd)
+    t = d / (rays_w @ c2w[:3, 2])
+    hit = c2w[:3, 3][None, :] + t[:, None] * rays_w
+    sdf_hit = ds.gt_sdf(hit)
+    assert np.abs(sdf_hit).max() < 5e-3
+    mid = c2w[:3, 3][None, :] + (0.5 * t)[:, None] * rays_w
+    assert ds.gt_sdf(mid).min() > -1e-6
+
+
+def test_orbit_scene_unchanged_by_renderer_batching():
+    """The batched renderer must keep the default orbit scene bitwise
+    (recorded baselines): geometry pins plus a render checksum pinned
+    against the pre-batching per-object renderer."""
+    from remixfusion_tpu.datasets.synthetic import SyntheticDataset
+
+    cfg = tiny_config(data={"synthetic": {
+        "n_frames": 5, "room_size": 4.0, "sphere_radius": 0.45,
+        "orbit_radius": 1.35, "orbit_degrees": 200.0}})
+    ds = SyntheticDataset(cfg)
+    rgb, depth = ds.render(ds.poses[2])
+    assert rgb.shape == (48, 64, 3) and depth.shape == (48, 64)
+    # checksums recorded from the sequential (pre-round-4) renderer at
+    # these exact settings
+    np.testing.assert_allclose(float(depth.sum()), 6814.6298828125,
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(float(rgb.astype(np.float64).sum()),
+                               4826.314850371331, rtol=0, atol=1e-3)
