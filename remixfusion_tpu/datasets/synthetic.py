@@ -361,6 +361,9 @@ class SyntheticDataset(AnalyticSceneDataset):
         if (self.scene_seed, self.orbit_radius_z, self.speed_wobble) != \
                 (7, self.orbit_radius, 0.0):
             extra = (self.scene_seed, self.orbit_radius_z, self.speed_wobble)
+        far = float(self.config["cam"]["far"])
+        if far != 5.0:  # far shapes the rendered depth cutoff (z > 1.5*far
+            extra += (far,)  # drops to 0); non-default values key the cache
         return (self.n_frames, self.room_size, self.sphere_radius,
                 self.orbit_radius, self.orbit_degrees, self.min_depth,
                 self.H, self.W, float(self.fx), float(self.fy),
@@ -686,7 +689,8 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
             self.poses.append(_look_at(eye, look))
 
     def _cache_key_parts(self) -> tuple:
-        return ("large", self.n_frames, self.scene_seed, self.n_rooms,
+        return ("large", float(self.config["cam"]["far"]),
+                self.n_frames, self.scene_seed, self.n_rooms,
                 self.room_w, self.room_d, self.height, self.corridor_w,
                 self.wall, self.door_w, self.door_h, self.eye_h,
                 self.look_ahead, self.sway_deg, self.sway_period,

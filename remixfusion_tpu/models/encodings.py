@@ -41,7 +41,18 @@ class HashGridEncoding:
         base_resolution: int = 16,
         log2_hashmap_size: int = 19,
         desired_resolution: int = 512,
+        hash_impl: str = "auto",
     ):
+        # lookup implementation: 'xla' = per-row gathers (scatter-add
+        # backward); 'pallas' = the dynamic-gather forward + one-hot MXU
+        # segment-sum backward kernels (ops.pallas.hash_enc — the path
+        # that makes strict reference parity usable on TPU); 'auto' =
+        # pallas on TPU, xla elsewhere (the kernels run in interpret mode
+        # off-TPU: correct but slow — tests opt in explicitly).
+        if hash_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"hash_impl must be auto/xla/pallas, "
+                             f"got {hash_impl!r}")
+        self.hash_impl = hash_impl
         self.n_levels = n_levels
         self.level_dim = level_dim
         self.base_resolution = base_resolution
@@ -88,6 +99,12 @@ class HashGridEncoding:
 
     def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, 3] in [0, 1] -> features [N, n_levels * level_dim]."""
+        impl = self.hash_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas" and self.level_dim == 2:
+            from remixfusion_tpu.ops.pallas.hash_enc import hash_encode
+            return hash_encode(self, table, x)
         n = x.shape[0]
         L = self.n_levels
         # Per-level voxel coordinates: pos = x * scale + 0.5 (tcnn grid.h).
@@ -427,6 +444,7 @@ def get_encoder(
     base_resolution: int = 16,
     log2_hashmap_size: int = 19,
     desired_resolution: int = 512,
+    hash_impl: str = "auto",
 ):
     """Encoder factory with the reference's name-matching rules
     (model/encodings.py:6-103). Returns (encoder, out_dim)."""
@@ -442,7 +460,8 @@ def get_encoder(
         e = DenseGridEncoding(4, level_dim, base_resolution, desired_resolution)
     elif "hash" in enc or "tiled" in enc:
         e = HashGridEncoding(n_levels, level_dim, base_resolution,
-                             log2_hashmap_size, desired_resolution)
+                             log2_hashmap_size, desired_resolution,
+                             hash_impl=hash_impl)
     elif "spherical" in enc:
         e = SphericalHarmonicsEncoding(degree)
     elif "blob" in enc:

@@ -89,7 +89,8 @@ class SceneRepresentation:
         self.embed_res_fn, self.input_ch = get_encoder(
             config["grid"]["enc"],
             log2_hashmap_size=config["grid"]["hash_size"],
-            desired_resolution=self.resolution_sdf)
+            desired_resolution=self.resolution_sdf,
+            hash_impl=config["grid"].get("hash_impl", "xla"))
 
         self.decoder_res = ColorSDFNet(
             config, input_ch=self.input_ch, input_ch_pos=self.input_ch_pos)

@@ -106,9 +106,8 @@ def corner_indices_weights(enc, x: jnp.ndarray):
     return idx, w, frac
 
 
-def _block_size(n: int, cap: int = 2048) -> int:
-    b = min(cap, ((n + LANES - 1) // LANES) * LANES)
-    return max(b, LANES)
+BLOCK = 2048      # forward point-block (lanes per grid step)
+BLOCK_BWD = 512   # backward contribution-block (sublanes per grid step)
 
 
 def _pad_pts(a: jnp.ndarray, n_pad: int):
@@ -145,21 +144,24 @@ def _fwd_kernel(tab_ref, idx_ref, w_ref, out_ref, *, S: int, B: int,
 
 def _level_gather(tab_l: jnp.ndarray, idx_l: jnp.ndarray, w_l: jnp.ndarray,
                   S: int, combine: bool):
-    """One level's gather. tab_l [2, S]; idx_l [8, N_pad];
-    w_l [8, N_pad] (or g [2, N_pad] when combine). Returns [2, N_pad] or
-    [8, N_pad]."""
+    """One level's gather. tab_l [2, S]; idx_l [8, N_pad] (N_pad a
+    multiple of BLOCK); w_l [8, N_pad] (or g [2, N_pad] when combine).
+    Returns [2, N_pad] or [8, N_pad]."""
     n_pad = idx_l.shape[-1]
-    B = _block_size(n_pad)
-    B = min(B, S - (S % LANES) if S % LANES else S, S)  # idx pad needs B<=S
-    B = max(LANES, (B // LANES) * LANES)
+    B = min(BLOCK, n_pad)
     nb = n_pad // B
+    # the gather operand/index/output all share [8, S_pad] lanes; pad the
+    # table so tiny dense levels (S < B) still fit the index block
+    S_pad = ((max(S, B) + LANES - 1) // LANES) * LANES
+    if S_pad > S:
+        tab_l = jnp.pad(tab_l, ((0, 0), (0, S_pad - S)))
     rows = 8 if combine else 2
     return pl.pallas_call(
-        partial(_fwd_kernel, S=S, B=B, combine=combine),
+        partial(_fwd_kernel, S=S_pad, B=B, combine=combine),
         interpret=_interp(),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((2, S), lambda b: (0, 0),
+            pl.BlockSpec((2, S_pad), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, B), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
@@ -223,9 +225,9 @@ def _level_grad_table(idxT_l: jnp.ndarray, wT_l: jnp.ndarray,
     padded points carry w=0); wT_l [N_pad, 8]; gT_l [N_pad, 2].
     Returns [S, 2]."""
     n_pad = idxT_l.shape[0]
-    B = 512 if n_pad % 512 == 0 else LANES
+    B = min(BLOCK_BWD, n_pad)
     nb = n_pad // B
-    HI = max(S // LANES, 1)
+    HI = max((S + LANES - 1) // LANES, 1)
     v0 = wT_l * gT_l[:, 0:1]
     v1 = wT_l * gT_l[:, 1:2]
     hi = idxT_l >> 7
@@ -265,7 +267,7 @@ def hash_encode(enc, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 def _hash_encode_fwd(enc, table, x):
     n = x.shape[0]
     idx, w, _frac = corner_indices_weights(enc, x)
-    n_pad = ((n + LANES - 1) // LANES) * LANES
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     idx = _pad_pts(idx, n_pad)
     w = _pad_pts(w, n_pad)
     tabs = _level_tables(enc, table)
@@ -284,7 +286,7 @@ def _hash_encode_bwd(enc, res, gout):
     n = x.shape[0]
     L = enc.n_levels
     idx, w, frac = corner_indices_weights(enc, x)
-    n_pad = ((n + LANES - 1) // LANES) * LANES
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
     idxp = _pad_pts(idx, n_pad)
     wp = _pad_pts(w, n_pad)
     g = gout.reshape(n, L, 2)

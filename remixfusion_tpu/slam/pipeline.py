@@ -420,10 +420,15 @@ class RemixFusionTPU:
 
         # re-center shift (identity move; state-preserving). Warms the
         # whole-brick fast path the policy actually takes, plus the dense
-        # fallback.
+        # fallback. The dense round-trip peaks at ~4x the volume's f32
+        # footprint; for BS3D-class volumes (>= ~30M voxels, e.g. the
+        # 10x4x10 m corridor volume) that transient OOMs a v5e — and the
+        # dense path is unreachable there anyway ('center'/'more' round
+        # bounds to whole meters = multiples of the brick edge), so skip
+        # its prewarm and let a truly off-brick shift compile on first use.
         from remixfusion_tpu.ops import tsdf as tsdf_ops
         mv._shift_to(mv.vol_bnds.copy())
-        if mv.brick:
+        if mv.brick and int(np.prod(mv.dims)) < 30_000_000:
             dense = mv.dense_state()
             dense = tsdf_ops.shift_volume(dense, dense.origin, mv.voxel_size)
             mv.set_dense_state(dense)

@@ -249,6 +249,110 @@ def test_large_scene_render_depth_matches_sdf():
     assert ds.gt_sdf(mid).min() > -1e-6
 
 
+def test_ba_corrects_perturbed_keyframe():
+    """Pins the RBA's corrective power (VERDICT r3 weak #3 / next #4; the
+    session-5 experiment promoted to a test): with a map fused at true
+    poses, a keyframe whose registered pose is perturbed must be pulled
+    back by bundle adjustment — the behavior being matched is the
+    reference's global_pose write-back materially moving keyframes
+    (reference mp_slam/mapper.py:425-520)."""
+    from scipy.spatial.transform import Rotation
+
+    from remixfusion_tpu.mapping.keyframe import DeviceKeyFrameStore
+    from remixfusion_tpu.mapping.mapper import Mapper
+    from remixfusion_tpu.models.scene_rep import SceneRepresentation
+
+    import test_mapping as _tm
+
+    # QVGA + a field trained at true poses: at 48x64 toy scale the BA
+    # render loss cannot anchor poses (clean keyframes drift ~5 cm); these
+    # are the smallest conditions where the experiment is meaningful
+    cfg = tiny_config(
+        cam={"H": 240, "W": 320, "fx": 200.0, "fy": 200.0,
+             "cx": 159.5, "cy": 119.5},
+        data={"synthetic": {"n_frames": 14, "orbit_degrees": 60.0}},
+        mapping={"sample": 1024, "pose_scale": 0.01, "lr_pose": 5e-4,
+                 "min_pixels_cur": 100, "clamp": 1.0},
+        training={"trunc": 0.05, "c_trunc": 0.25, "n_samples_d": 11,
+                  "range_d": 0.15, "n_range_d": 24})
+    ds = get_dataset(cfg)
+    bound = np.asarray(cfg["mapping"]["bound"], np.float32)
+    scene = SceneRepresentation(cfg, bound, num_kf=8)
+    params, buffers = scene.init(jax.random.PRNGKey(0))
+    mapper = Mapper(cfg, scene, params)
+    K = jnp.asarray(ds.K())
+
+    frames = [ds[i] for i in (0, 2, 4, 6, 8, 10)]
+    for f in frames:
+        buffers = mapper.integrate_keyframe(
+            buffers, jnp.asarray(f["depth"]), jnp.asarray(f["rgb"]), K,
+            jnp.asarray(f["c2w"]), bound)
+
+    # fit the field/decoders at TRUE poses (the map the keyframes will be
+    # adjusted against)
+    rng = np.random.default_rng(0)
+    for it in range(8):
+        batches = np.stack([
+            _tm.sample_frame_rays(ds, frames[i % 6], 512, rng)
+            for i in range(5)])
+        ro, rd = [], []
+        for bi, b in enumerate(batches):
+            poses = np.tile(frames[bi % 6]["c2w"][None], (512, 1, 1))
+            o, d = Mapper.rays_to_world_np(b, poses)
+            ro.append(o)
+            rd.append(d)
+        params, _ = mapper.map_step(params, buffers, batches,
+                                    np.stack(ro), np.stack(rd),
+                                    jax.random.PRNGKey(50 + it))
+
+    # keyframe 2's pose record is perturbed ~2.9 cm + ~1.2 deg
+    delta_t = np.asarray([0.02, -0.018, 0.012], np.float32)
+    delta_R = Rotation.from_euler("xyz", [1.0, -0.6, 0.4],
+                                  degrees=True).as_matrix().astype(np.float32)
+    perturbed = frames[2]["c2w"].copy()
+    perturbed[:3, :3] = delta_R @ perturbed[:3, :3]
+    perturbed[:3, 3] += delta_t
+    inj = float(np.linalg.norm(delta_t))
+    for slot, f in enumerate(frames):
+        pose = perturbed if slot == 2 else f["c2w"]
+        buffers = buffers._replace(rba=scene.rba.update_init_pose(
+            buffers.rba, slot, jnp.asarray(pose)))
+
+    kfdb = DeviceKeyFrameStore(8, 1024, cfg["cam"]["depth_trunc"], 0)
+    dirs_flat = jnp.asarray(
+        np.asarray(frames[0]["direction"], np.float32).reshape(-1, 3))
+    for slot, f in enumerate(frames):
+        kfdb.add_keyframe(slot, jnp.asarray(f["depth"]),
+                          jnp.asarray(f["rgb"]), dirs_flat,
+                          jax.random.PRNGKey(slot))
+
+    err0 = inj
+    poses_all = None
+    for r in range(12):
+        params, losses, poses_all = mapper.ba_step_dev(
+            params, buffers, kfdb, len(kfdb), dirs_flat,
+            jnp.asarray(frames[-1]["depth"]), jnp.asarray(frames[-1]["rgb"]),
+            5, jax.random.PRNGKey(100 + r), n_iters=5, n_cur=64)
+    poses_all = np.asarray(poses_all)
+    rec_err = float(np.linalg.norm(
+        poses_all[2][:3, 3] - frames[2]["c2w"][:3, 3]))
+    print(f"# BA recovery: injected {err0 * 100:.1f} cm -> "
+          f"{rec_err * 100:.2f} cm")
+    # BA must pull the perturbed keyframe measurably toward truth (the
+    # recovery rate is Adam-step-bound through the 256^3 pose MLP and
+    # equilibrates against the MLP's coupling of keyframe corrections —
+    # 60 iterations recover ~20% at these sizes; BASELINE.md round 4
+    # records the full recovery-vs-rounds trace)...
+    assert rec_err < 0.88 * err0
+    # ...without disturbing the well-registered keyframes (mm class)
+    for slot in (1, 3):
+        drift = float(np.linalg.norm(
+            poses_all[slot][:3, 3] - frames[slot]["c2w"][:3, 3]))
+        assert drift < 0.015, (slot, drift)
+    # pinned keyframe 0 never moves
+    assert np.allclose(poses_all[0], frames[0]["c2w"], atol=1e-5)
+
+
 def test_orbit_scene_unchanged_by_renderer_batching():
     """The batched renderer must keep the default orbit scene bitwise
     (recorded baselines): geometry pins plus a render checksum pinned
