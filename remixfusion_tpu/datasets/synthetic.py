@@ -412,6 +412,14 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
         self.door_h = float(syn.get("door_height", 2.3))
         self.eye_h = float(syn.get("eye_height", 1.5))      # below ceiling
         self.look_ahead = float(syn.get("look_ahead", 1.8)) # meters
+        # Downward look offset (meters at look_ahead; y is down-positive):
+        # ~9 deg of downward pitch like a person scanning a building. This
+        # is load-bearing for the floor's fusion quality: a dead-level (or
+        # slightly upward) gaze leaves the floor at extreme grazing where
+        # the projective-TSDF update margin is thinner than the
+        # grazing-amplified effect of a ~2 cm pose error, and the far
+        # floor band never fuses (measured round 4).
+        self.look_down = float(syn.get("look_down", 0.3))
         self.sway_deg = float(syn.get("sway_degrees", 10.0))
         self.sway_period = float(syn.get("sway_period", 90.0))  # frames
 
@@ -676,7 +684,7 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
             eye_y = Ly - self.eye_h + 0.04 * np.sin(0.31 * i)
             eye = np.array([p[0], eye_y, p[1]])
             tgt2 = at(s_frames[i] + self.look_ahead)
-            look = np.array([tgt2[0], eye_y - 0.1, tgt2[1]])
+            look = np.array([tgt2[0], eye_y + self.look_down, tgt2[1]])
             # lateral head sway (scan the walls while walking)
             if self.sway_deg > 0:
                 a = np.deg2rad(self.sway_deg) * np.sin(
@@ -693,7 +701,8 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
                 self.n_frames, self.scene_seed, self.n_rooms,
                 self.room_w, self.room_d, self.height, self.corridor_w,
                 self.wall, self.door_w, self.door_h, self.eye_h,
-                self.look_ahead, self.sway_deg, self.sway_period,
+                self.look_ahead, self.look_down, self.sway_deg,
+                self.sway_period,
                 self.min_depth, self.H, self.W, float(self.fx),
                 float(self.fy), float(self.cx), float(self.cy),
                 len(self.spheres), len(self.boxes))
