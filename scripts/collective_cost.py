@@ -11,7 +11,8 @@ then reports the per-frame totals and a latency model for real ICI.
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python scripts/collective_cost.py
-Results are recorded in BASELINE.md (round 4).
+Results are recorded in BASELINE.md (round 5, "Collective cost of
+candidate-sharded tracking").
 """
 
 import os
@@ -38,9 +39,14 @@ from remixfusion_tpu.tracking.rotracker import ROTracker
 from remixfusion_tpu.tracking.volume import MovingVolume
 from remixfusion_tpu.datasets import get_dataset
 
+# HLO definition lines: `%all-reduce.7 = s32[1]{0} all-reduce(...)` or, for
+# variadic reductions, a tuple shape: `= (f32[], f32[6]{0}) all-reduce(...)`.
+# Match the shape between `=` and the op kind so the payload is parseable
+# (the old operand-side regex matched reference lines with empty sigs — the
+# "0 B" bug flagged in VERDICT r4).
 _COLL = re.compile(
-    r"%?(all-gather|all-reduce|reduce-scatter|collective-permute)"
-    r"[^=]*=\s*([a-z0-9\[\],{}() ]+)\(", re.I)
+    r"=\s*(\([^)]*\)|[a-z0-9]+\[[0-9,]*\](?:\{[0-9,]*\})?)\s+"
+    r"(all-gather|all-reduce|reduce-scatter|collective-permute)\(")
 
 
 def dtype_bytes(tok: str) -> int:
@@ -92,10 +98,9 @@ def analyze(d: int):
     # the fori_loop body appears once; the 3 tier branches live in a
     # conditional, so per ITERATION exactly one branch's collectives run.
     counts = {}
-    per_branch_bytes = []
     for m in _COLL.finditer(txt):
-        kind = m.group(1).lower()
-        sig = m.group(2)
+        kind = m.group(2).lower()
+        sig = m.group(1)
         b = shape_bytes(sig)
         counts.setdefault(kind, []).append((sig.strip()[:60], b))
     return counts
@@ -108,6 +113,7 @@ def main():
         print(f"\n== {d} devices ==")
         total_static = 0
         n_ops = 0
+        branch_bytes = 0.0
         for kind, lst in sorted(counts.items()):
             from collections import Counter
             sigs = Counter(s for s, _ in lst)
@@ -118,10 +124,24 @@ def main():
                 n_ops += c
         # the loop body holds 3 tier branches; one runs per iteration ->
         # per-frame ops ~= (ops_in_body / 3) * 20 (plus any outside-loop)
+        ops_per_frame = n_ops / 3 * iters
+        branch_bytes = total_static / 3  # avg payload of one tier branch
+        bytes_per_frame = branch_bytes * iters
         print(f"  static collective ops in HLO: {n_ops}, "
-              f"{total_static} B")
-        print(f"  per-frame estimate: ~{n_ops / 3 * iters:.0f} collective "
-              f"launches (1 branch of 3 per iteration x {iters} iters)")
+              f"{total_static} B total payload")
+        print(f"  per-frame estimate: ~{ops_per_frame:.0f} collective "
+              f"launches, ~{bytes_per_frame / 1024:.1f} KiB payload "
+              f"(1 branch of 3 per iteration x {iters} iters)")
+        # ICI latency model (v5e ring, per jax-ml scaling-book class
+        # numbers): ~1 us launch/sync latency per small collective hop and
+        # ~1e11 B/s per link. The payloads here are 1-12 KiB, so the cost
+        # is launch-latency-dominated: t ~= ops * d_hops * 1us + B / bw.
+        hops = max(d - 1, 1)  # worst-case ring reduction span
+        t_lat_us = ops_per_frame * hops * 1.0
+        t_bw_us = bytes_per_frame * hops / 1e11 * 1e6
+        print(f"  ICI model @ {d} chips: ~{t_lat_us:.0f} us latency + "
+              f"{t_bw_us:.2f} us bandwidth per tracked frame "
+              f"(latency-dominated; vs ~16-24 ms track program)")
 
 
 if __name__ == "__main__":

@@ -341,8 +341,7 @@ def test_ba_corrects_perturbed_keyframe():
     # BA must pull the perturbed keyframe measurably toward truth (the
     # recovery rate is Adam-step-bound through the 256^3 pose MLP and
     # equilibrates against the MLP's coupling of keyframe corrections —
-    # 60 iterations recover ~20% at these sizes; BASELINE.md round 4
-    # records the full recovery-vs-rounds trace)...
+    # 60 iterations recover ~20% at these sizes)...
     assert rec_err < 0.88 * err0
     # ...without disturbing the well-registered keyframes (mm class)
     for slot in (1, 3):
