@@ -657,6 +657,34 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
             v[:ramp] = 0.5 * (1 - np.cos(np.pi * (np.arange(ramp) + 1)
                                          / (ramp + 1)))
             v[-ramp:] = v[:ramp][::-1]
+        # Human-like turn dynamics (synthetic.turn_rate_cap, deg/frame;
+        # 0 = constant-speed walk): people slow down through turns — real
+        # BS3D-class handheld capture never sustains multi-deg/frame yaw
+        # at full walking speed. Capping the per-frame heading change
+        # redistributes the fixed frame budget (slower in turns, faster on
+        # straights, same path): v_i is scaled by cap / (kappa * step) and
+        # renormalized, iterated to a fixed point.
+        turn_cap = float(syn.get("turn_rate_cap", 0.0))
+        if turn_cap > 0:
+            tang = np.gradient(sm, axis=0)
+            ds = np.linalg.norm(tang, axis=1)
+            theta = np.unwrap(np.arctan2(tang[:, 1], tang[:, 0]))
+            kappa = np.abs(np.gradient(theta)) / np.maximum(ds, 1e-12)
+            cap_rad = np.deg2rad(turn_cap)
+            for _ in range(4):
+                s_f = np.concatenate([[0.0], np.cumsum(v)[:-1]])
+                s_f = s_f / s_f[-1] * self.path_len
+                step = np.gradient(s_f)
+                kap_f = np.interp(s_f, arc, kappa)
+                scale = np.minimum(
+                    1.0, cap_rad / np.maximum(kap_f * step, 1e-12))
+                base = np.ones(n)
+                if ramp > 0:
+                    base[:ramp] = v[:ramp] / np.maximum(v[:ramp], 1e-12) \
+                        * 0.5 * (1 - np.cos(np.pi * (np.arange(ramp) + 1)
+                                            / (ramp + 1)))
+                    base[-ramp:] = base[:ramp][::-1]
+                v = base * scale
         s_frames = np.concatenate([[0.0], np.cumsum(v)[:-1]])
         s_frames = s_frames / s_frames[-1] * self.path_len
 
@@ -697,6 +725,11 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
             self.poses.append(_look_at(eye, look))
 
     def _cache_key_parts(self) -> tuple:
+        # turn_rate_cap keys the cache only when set, so the default
+        # scene's existing entries stay valid
+        cap = float(self.config["data"]["synthetic"].get(
+            "turn_rate_cap", 0.0))
+        extra = (cap,) if cap else ()
         return ("large", float(self.config["cam"]["far"]),
                 self.n_frames, self.scene_seed, self.n_rooms,
                 self.room_w, self.room_d, self.height, self.corridor_w,
@@ -705,4 +738,4 @@ class SyntheticLargeDataset(AnalyticSceneDataset):
                 self.sway_period,
                 self.min_depth, self.H, self.W, float(self.fx),
                 float(self.fy), float(self.cx), float(self.cy),
-                len(self.spheres), len(self.boxes))
+                len(self.spheres), len(self.boxes)) + extra

@@ -101,8 +101,15 @@ class HashGridEncoding:
         """x: [N, 3] in [0, 1] -> features [N, n_levels * level_dim]."""
         impl = self.hash_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas" and self.level_dim == 2:
+            impl = "pallas" if (jax.default_backend() == "tpu"
+                                and self.level_dim == 2) else "xla"
+        if impl == "pallas":
+            if self.level_dim != 2:
+                # an explicit request must not silently benchmark XLA
+                # (ADVICE r4); only 'auto' falls back quietly
+                raise ValueError(
+                    f"hash_impl='pallas' supports level_dim=2 only "
+                    f"(got {self.level_dim}); use 'auto' or 'xla'")
             from remixfusion_tpu.ops.pallas.hash_enc import hash_encode
             return hash_encode(self, table, x)
         n = x.shape[0]

@@ -86,11 +86,15 @@ class SceneRepresentation:
 
         self.embedpos_fn, self.input_ch_pos = get_encoder(
             config["pos"]["enc"], n_bins=config["pos"]["n_bins"])
+        # hash_impl 'auto' = the hybrid training path on TPU (XLA gather
+        # forward + page-blocked one-hot MXU table gradient, validated on
+        # v5e round 5 — BASELINE.md "strict-parity HashGrid"); pure XLA
+        # elsewhere. Only read when grid.enc is HashGrid.
         self.embed_res_fn, self.input_ch = get_encoder(
             config["grid"]["enc"],
             log2_hashmap_size=config["grid"]["hash_size"],
             desired_resolution=self.resolution_sdf,
-            hash_impl=config["grid"].get("hash_impl", "xla"))
+            hash_impl=config["grid"].get("hash_impl", "auto"))
 
         self.decoder_res = ColorSDFNet(
             config, input_ch=self.input_ch, input_ch_pos=self.input_ch_pos)

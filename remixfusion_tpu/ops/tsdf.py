@@ -1343,18 +1343,25 @@ class BrickSelector:
         old = self.seen.reshape(self.BX, self.BY, self.BZ)
         new = np.zeros_like(old)
         sh = np.asarray(shift_vox, np.float64) / self.b
+
+        def rng(o, B):
+            # overlap of [0, B) with [0, B) shifted by o: explicit length
+            # so shifts beyond the grid (|o| >= B — e.g. a re-center after
+            # a tracking runaway) cleanly produce an empty copy instead of
+            # mismatched slice shapes
+            ln = B - abs(o)
+            return (max(o, 0), max(-o, 0), max(ln, 0))
+
         for fx_ in (np.floor, np.ceil):
             for fy_ in (np.floor, np.ceil):
                 for fz_ in (np.floor, np.ceil):
-                    ox = int(fx_(sh[0]))
-                    oy = int(fy_(sh[1]))
-                    oz = int(fz_(sh[2]))
-                    src = old[max(ox, 0):self.BX + min(ox, 0),
-                              max(oy, 0):self.BY + min(oy, 0),
-                              max(oz, 0):self.BZ + min(oz, 0)]
-                    new[max(-ox, 0):self.BX - max(ox, 0),
-                        max(-oy, 0):self.BY - max(oy, 0),
-                        max(-oz, 0):self.BZ - max(oz, 0)] |= src
+                    sx, dx_, lx = rng(int(fx_(sh[0])), self.BX)
+                    sy, dy_, ly = rng(int(fy_(sh[1])), self.BY)
+                    sz, dz_, lz = rng(int(fz_(sh[2])), self.BZ)
+                    if lx == 0 or ly == 0 or lz == 0:
+                        continue
+                    new[dx_:dx_ + lx, dy_:dy_ + ly, dz_:dz_ + lz] |= \
+                        old[sx:sx + lx, sy:sy + ly, sz:sz + lz]
         self.seen = new.reshape(-1)
 
     def reseed_seen(self, tsdf_bm_min):

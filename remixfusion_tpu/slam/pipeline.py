@@ -160,12 +160,41 @@ class RemixFusionTPU:
         # frames) feeding the in-jit const-speed prediction.
         self._dev_pose_prev = None
         self._dev_pose_prev2 = None
+        self._dev_fit_prev = None
         # Last two HARVESTED (frame_id, pose) pairs for host-side pose
         # extrapolation (re-center policy, brick selection).
         self._last_harvested = []
         const_speed = bool(config["tracking"]["const_speed"])
+        # FITNESS-ADAPTIVE translation-velocity damping (tracking.
+        # speed_damp = the minimum lambda, default 1.0 = the reference's
+        # exact const-speed model): when the previous frame's achieved
+        # fitness is healthy (< damp_fit_lo) the prediction carries the
+        # full translational velocity; as fitness degrades toward
+        # damp_fit_hi, the velocity term ramps down to speed_damp.
+        # Rotation prediction always stays full.
+        #
+        # Root-caused on the corridor scene (scripts/corridor_diag.py +
+        # fitness-landscape scans, round 5): under pure const-speed
+        # prediction an acquired pose-error VELOCITY compounds linearly
+        # (pred error = 2 e_i - e_{i-1}); at the room-entry turn the
+        # fitness landscape is flat along the walk direction (+12 cm
+        # forward at equal fitness, steep backward), so a forward error
+        # velocity is never corrected, the drifting poses fuse into the
+        # local map, and the landscape optimum itself runs away (measured
+        # 4.5 cm/frame translational runaway at ~0 rotation error; the
+        # disturbance window's fitness was 0.2-0.32 vs the healthy
+        # 0.06-0.15). A FIXED damp trades this overshoot runaway for a
+        # lag runaway (measured: lambda 0.5 collapses on the straight at
+        # f242 from the permanent 3.5 cm/frame recovery deficit), hence
+        # the fitness gate: full velocity while tracking is confident,
+        # decay exactly in the windows where the landscape cannot correct
+        # it. const_speed False (reference BS3D's setting) and fixed
+        # damps are the degenerate corners of this scheme.
+        speed_damp = float(config["tracking"].get("speed_damp", 1.0))
+        fit_lo = float(config["tracking"].get("damp_fit_lo", 0.15))
+        fit_hi = float(config["tracking"].get("damp_fit_hi", 0.40))
 
-        def predict_dev(prev, prev2):
+        def predict_dev(prev, prev2, fit_prev):
             """In-jit const-speed prediction (reference tracker.py:54-72):
             pred = (prev @ inv(prev2)) @ prev, rotation SVD-orthogonalized
             with a det-sign fix. prev == prev2 degenerates to prev."""
@@ -176,7 +205,15 @@ class RemixFusionTPU:
             Rd = R1 @ R2.T
             td = t1 - Rd @ t2
             Rp = Rd @ R1
-            tp = Rd @ t1 + td
+            if speed_damp != 1.0:
+                # lambda(fit): 1 below fit_lo, -> speed_damp at fit_hi
+                u = jnp.clip((fit_prev - fit_lo) / (fit_hi - fit_lo),
+                             0.0, 1.0)
+                lam = 1.0 - u * (1.0 - jnp.float32(speed_damp))
+                # undamped step: tp - t1 = Rd @ (t1 - t2); damp scales it
+                tp = t1 + lam * (Rd @ t1 + td - t1)
+            else:
+                tp = Rd @ t1 + td  # bitwise the pre-damp arithmetic
             U, _, Vt = jnp.linalg.svd(Rp)
             s = jnp.sign(jnp.linalg.det(U @ Vt))
             S = jnp.diag(jnp.asarray([1.0, 1.0, 1.0]) .at[2].set(s))
@@ -577,15 +614,21 @@ class RemixFusionTPU:
 
     @staticmethod
     def _const_speed_np(prev: np.ndarray, prev_prev: np.ndarray,
-                        steps: int = 1) -> np.ndarray:
+                        steps: int = 1, damp: float = 1.0) -> np.ndarray:
         """Const-speed extrapolation `delta^steps @ prev` with SVD
         re-orthogonalization (reference tracker.py:54-72) — the single
         host-side implementation behind both predict_current_pose (the
         synchronous reference-parity API) and _host_pose_estimate (the
-        harvested-frontier extrapolation)."""
+        harvested-frontier extrapolation). `damp` scales the velocity
+        term like the device predictor's tracking.speed_damp."""
         prev = prev.astype(np.float64)
         delta = prev @ np.linalg.inv(prev_prev.astype(np.float64))
         pred = np.linalg.matrix_power(delta, steps) @ prev
+        if damp != 1.0:
+            # translation-only damping, matching predict_dev: shrink the
+            # predicted translational step toward the previous position
+            # (rotation prediction stays full)
+            pred[:3, 3] = prev[:3, 3] + damp * (pred[:3, 3] - prev[:3, 3])
         U, _, Vt = np.linalg.svd(pred[:3, :3])
         S = np.eye(3)
         S[2, 2] = np.sign(np.linalg.det(U @ Vt))
@@ -600,8 +643,10 @@ class RemixFusionTPU:
         const_speed = self.config["tracking"]["const_speed"]
         if frame_id == 1 or not const_speed:
             return self.est_c2w_data[frame_id - 1].copy()
-        return self._const_speed_np(self.RO_c2w_data[frame_id - 1],
-                                    self.RO_c2w_data[frame_id - 2])
+        return self._const_speed_np(
+            self.RO_c2w_data[frame_id - 1],
+            self.RO_c2w_data[frame_id - 2],
+            damp=float(self.config["tracking"].get("speed_damp", 1.0)))
 
     def _frame_tiles(self, pose, im_h, im_w, depth=None):
         """Host-side frustum tile selection for the fused track+integrate
@@ -661,6 +706,29 @@ class RemixFusionTPU:
         mv = self.mv
         from functools import partial
 
+        # Fitness-gated fusion (volume.fuse_fit_gate: [lo, hi], default
+        # off = reference-exact unconditional fusion): the frame's local
+        # fusion weight ramps from 1 (fit <= lo) to a 0.05 floor
+        # (fit >= hi). Round-5 corridor diagnosis: tracking-runaway SEEDS
+        # announce themselves in the achieved fitness (0.2-0.32 vs the
+        # healthy 0.06-0.15) one-few frames before the pose error compounds
+        # — fusing those frames at full weight writes the erroneous poses
+        # into the local map, the fitness landscape's optimum moves with
+        # the corruption, and the tracker follows its own drift (measured:
+        # landscape minimum displaced +6-12 cm within 10 frames). Gating
+        # keeps the map anchored to pre-stress content so the landscape's
+        # intact steep side can pull the pose back. The 0.05 floor (not 0)
+        # matters: a zero obs_weight on a weight-0 voxel would write
+        # tsdf=0 (a phantom surface) through the running-mean update.
+        _fg = self.config["volume"].get("fuse_fit_gate")
+
+        def _obs_w(res):
+            if not _fg:
+                return jnp.asarray(1.0, jnp.float32)
+            lo, hi = float(_fg[0]), float(_fg[1])
+            return jnp.clip((hi - res.origin_value) / (hi - lo),
+                            0.05, 1.0)
+
         tkey = ("track", im_h, im_w)
         if not hasattr(self, "_track_jits"):
             self._track_jits = {}
@@ -717,15 +785,14 @@ class RemixFusionTPU:
                     res = track(tsdf, origin, init_pose, depth, key, ss)
                     t2, w2, c2 = fuse(tsdf, weight, color, offsets, depth,
                                       rgb, K, res.c2w, origin,
-                                      jnp.asarray(1.0, jnp.float32))
+                                      _obs_w(res))
                     return res, t2, w2, c2
             else:
                 def step(tsdf, weight, color, origin, offsets, depth, rgb,
                          K, init_pose, key, ss):
                     res = track(tsdf, origin, init_pose, depth, key, ss)
                     t2, w2 = fuse(tsdf, weight, offsets, depth, K,
-                                  res.c2w, origin,
-                                  jnp.asarray(1.0, jnp.float32))
+                                  res.c2w, origin, _obs_w(res))
                     return res, t2, w2, color
         elif mode == "tiled":
             from remixfusion_tpu.ops.tsdf import make_tiled_fuser
@@ -739,8 +806,7 @@ class RemixFusionTPU:
                      init_pose, key, ss):
                 res = track(tsdf, origin, init_pose, depth, key, ss)
                 t2, w2, c2 = fuse(tsdf, weight, color, origin, offsets,
-                                  depth, rgb, K, res.c2w,
-                                  jnp.asarray(1.0, jnp.float32))
+                                  depth, rgb, K, res.c2w, _obs_w(res))
                 return res, t2, w2, c2
         else:
             from remixfusion_tpu.ops import tsdf as tsdf_ops
@@ -755,8 +821,7 @@ class RemixFusionTPU:
                      init_pose, key, ss):
                 res = track(tsdf, origin, init_pose, depth, key, ss)
                 t2, w2, c2 = fuse(tsdf, weight, color, origin, depth,
-                                  rgb, K, res.c2w,
-                                  jnp.asarray(1.0, jnp.float32))
+                                  rgb, K, res.c2w, _obs_w(res))
                 return res, t2, w2, c2
         return step
 
@@ -794,6 +859,7 @@ class RemixFusionTPU:
             dev = jax.device_put(jnp.asarray(c2w))
             self._dev_pose_prev = dev
             self._dev_pose_prev2 = dev
+            self._dev_fit_prev = jnp.float32(0.0)
         self._last_harvested = (self._last_harvested + [(frame_id, c2w)])[-2:]
         self.est_c2w_data[frame_id] = c2w
         self.RO_c2w_data[frame_id] = c2w
@@ -841,7 +907,9 @@ class RemixFusionTPU:
         if len(lh) < 2 or not self.config["tracking"]["const_speed"]:
             return lh[-1][1].copy()
         (i2, p2), (i1, p1) = lh[0], lh[1]
-        return self._const_speed_np(p1, p2, steps=max(frame_id - i1, 0))
+        return self._const_speed_np(
+            p1, p2, steps=max(frame_id - i1, 0),
+            damp=float(self.config["tracking"].get("speed_damp", 1.0)))
 
     def track_frame(self, frame_id: int, batch):
         t0 = time.time()
@@ -918,8 +986,10 @@ class RemixFusionTPU:
         if self._dev_pose_prev is None:
             self._dev_pose_prev = jnp.asarray(self.est_c2w_data[0])
             self._dev_pose_prev2 = self._dev_pose_prev
+            self._dev_fit_prev = jnp.float32(0.0)
         init_dev = self._predict_dev(self._dev_pose_prev,
-                                     self._dev_pose_prev2)
+                                     self._dev_pose_prev2,
+                                     self._dev_fit_prev)
         res, tsdf, weight, color = self._tf_fns[key](
             st.tsdf, st.weight, st.color, st.origin, offsets,
             dep_dev, rgb_dev,
@@ -929,6 +999,7 @@ class RemixFusionTPU:
         self.mv.state = VolumeState(tsdf, weight, color, st.origin)
         self._dev_pose_prev2 = self._dev_pose_prev
         self._dev_pose_prev = res.c2w
+        self._dev_fit_prev = res.origin_value
         try:
             # stream the pose back while the host moves on
             res.c2w.copy_to_host_async()
@@ -1550,6 +1621,7 @@ class RemixFusionTPU:
         i = self.tracking_idx
         self._dev_pose_prev = jnp.asarray(self.RO_c2w_data[i])
         self._dev_pose_prev2 = jnp.asarray(self.RO_c2w_data[max(i - 1, 0)])
+        self._dev_fit_prev = jnp.float32(0.0)
         self._last_harvested = [
             (j, self.RO_c2w_data[j].copy())
             for j in range(max(i - 1, 0), i + 1)]

@@ -288,6 +288,18 @@ class MovingVolume:
                     self.state, jnp.asarray(new_bnds[:, 0], jnp.float32),
                     self.voxel_size, self.brick_layout(), self.dims)
             else:
+                if int(np.prod(self.dims)) >= 30_000_000:
+                    # pipeline.prewarm skips the dense-shift variant on
+                    # >=30M-voxel volumes (its ~4x-footprint transient
+                    # OOMs a v5e) on the premise that 'center'/'more'
+                    # re-centers round to whole brick edges — make any
+                    # violation attributable (ADVICE r4): this compile
+                    # happens INSIDE the timed loop (multi-second stall).
+                    print(f"# WARNING: off-brick shift {off_vox} on a "
+                          f"{int(np.prod(self.dims))//10**6}M-voxel volume "
+                          f"— unprewarmed dense path, expect a compile "
+                          f"stall (re-center policy should emit whole-"
+                          f"brick shifts)", flush=True)
                 dense = self.dense_state()
                 dense = tsdf_ops.shift_volume(
                     dense, jnp.asarray(new_bnds[:, 0], jnp.float32),

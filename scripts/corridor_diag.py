@@ -62,6 +62,58 @@ def main():
     dims = tuple(int(d) for d in slam.mv.dims)
 
     @jax.jit
+    def fitness_at(state_tsdf, state_weight, origin, c2w, depth):
+        """Reference-kernel fitness at a pose: mean |tsdf(nearest voxel of
+        each valid-depth strided vertex)| (expected=0 at sample_range=0,
+        unknown voxels score |1| exactly like ROtracker.py:258-265)."""
+        d = depth[::8, ::8].reshape(-1)
+        pts_cam = dirs_dev * d[:, None]
+        pts = pts_cam @ c2w[:3, :3].T + c2w[:3, 3]
+        vox = jnp.round((pts - origin) / vs).astype(jnp.int32)
+        inside = ((vox >= 1) & (vox <= jnp.asarray(dims) - 2)).all(1)
+        valid = (d > 0) & inside
+        b = slam.mv.brick
+        bx, by, bz = vox[:, 0] // b, vox[:, 1] // b, vox[:, 2] // b
+        lx, ly, lz = vox[:, 0] % b, vox[:, 1] % b, vox[:, 2] % b
+        nbx, nby, nbz = dims[0] // b, dims[1] // b, dims[2] // b
+        bid = (bx * nby + by) * nbz + bz
+        lid = (lx * b + ly) * b + lz
+        flat = bid * (b ** 3) + lid
+        t = state_tsdf.reshape(-1)[flat]
+        return (jnp.sum(jnp.where(valid, jnp.abs(t), 0.0))
+                / jnp.maximum(jnp.sum(valid), 1))
+
+    scan_frames = set(int(s) for s in
+                      os.environ.get("DIAG_SCAN", "").split(",") if s)
+
+    def landscape(idx, base_c2w, depth_np):
+        depth = jnp.asarray(depth_np)
+        st = slam.mv.state
+        out = {}
+        deltas = np.linspace(-0.12, 0.12, 13)
+        for ax, name in ((0, "x"), (1, "y"), (2, "z")):
+            row = []
+            for dlt in deltas:
+                p = np.asarray(base_c2w).copy()
+                p[ax, 3] += dlt
+                row.append(float(fitness_at(st.tsdf, st.weight, st.origin,
+                                            jnp.asarray(p), depth)))
+            out[name] = row
+        # forward axis (camera -z or +z column of R): use look dir = R @ [0,0,1]
+        fwd = np.asarray(base_c2w)[:3, 2]
+        row = []
+        for dlt in deltas:
+            p = np.asarray(base_c2w).copy()
+            p[:3, 3] += dlt * fwd
+            row.append(float(fitness_at(st.tsdf, st.weight, st.origin,
+                                        jnp.asarray(p), depth)))
+        out["fwd"] = row
+        print(f"LANDSCAPE f{idx} (deltas cm: "
+              f"{np.round(deltas*100,1).tolist()})", flush=True)
+        for k, v in out.items():
+            print(f"  {k}: {[round(x, 3) for x in v]}", flush=True)
+
+    @jax.jit
     def unknown_frac(weight_bm, origin, c2w, depth):
         d = depth[::8, ::8].reshape(-1)
         pts_cam = dirs_dev * d[:, None]
@@ -93,6 +145,12 @@ def main():
                 slam._cache_frame(idx + ahead, frames[idx + ahead])
         slam.track_frame(idx, frames[idx])
         res = slam._pending_track[-1][1]
+        if idx in scan_frames:
+            landscape(idx, frames[idx]["c2w"], frames[idx]["depth"])
+            # the same sweep at the TRACKED pose, for the lock-on picture
+            print(f"  (ro pose terr="
+                  f"{np.linalg.norm(np.asarray(res.c2w)[:3, 3] - np.asarray(frames[idx]['c2w'])[:3, 3])*100:.1f}cm)",
+                  flush=True)
         uf, nv = unknown_frac(slam.mv.state.weight, slam.mv.state.origin,
                               res.c2w, jnp.asarray(frames[idx]["depth"]))
         fit_tr.append(float(res.origin_value))

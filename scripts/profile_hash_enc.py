@@ -1,5 +1,6 @@
-"""Price the Pallas hash-encoding kernels against the XLA gather path on
-the attached TPU at production map-step shapes.
+"""Price the hybrid hash-encoding path (hash_impl='pallas': XLA fused
+gather forward + page-blocked one-hot MXU table gradient) against the pure
+XLA path on the attached TPU at production map-step shapes.
 
 Production shape: mapping.sample 2048 rays x 59 samples = ~121k points,
 16 levels x 2 features, hash_size 16 (the synthetic/BS3D config class).

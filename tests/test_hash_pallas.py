@@ -1,10 +1,12 @@
-"""Parity tests: Pallas hash-grid encoding kernels vs the XLA gather path.
+"""Parity tests: the hybrid hash-encoding path vs the pure-XLA gather path.
 
-The kernels (ops/pallas/hash_enc.py) replace per-row gathers/scatters with
-dynamic-gather + one-hot MXU segment-sums; off-TPU they run in interpret
-mode, so these tests check NUMERICS, not speed. Forward must match the XLA
-path to float tolerance; the custom-VJP table gradient must match XLA's
-scatter-add gradient; the position gradient must match XLA's autodiff."""
+The hybrid (ops/pallas/hash_enc.py) keeps the forward on the XLA gather
+engine (one fused gather over all level/corner rows) and replaces the
+scatter-add table gradient with a page-blocked one-hot MXU segment-sum
+Pallas kernel; off-TPU the kernel runs in interpret mode, so these tests
+check NUMERICS, not speed. Forward must match the XLA path to float
+tolerance; the custom-VJP table gradient must match XLA's scatter-add
+gradient; the position gradient must match XLA's autodiff."""
 
 import jax
 import jax.numpy as jnp
@@ -95,8 +97,7 @@ def test_hash_pallas_inside_jit_and_value_and_grad():
 
 
 def test_hash_pallas_large_hash16_level():
-    """One production-sized hashed level (2^16 rows): the forward gather
-    pads the point block against the table width; parity must hold."""
+    """One production-sized hashed level (2^16 rows): forward parity."""
     e_x = _enc("xla", n_levels=2, base_resolution=64,
                log2_hashmap_size=16, desired_resolution=512)
     e_p = _enc("pallas", n_levels=2, base_resolution=64,
@@ -107,3 +108,30 @@ def test_hash_pallas_large_hash16_level():
     np.testing.assert_allclose(np.asarray(e_p(table, x)),
                                np.asarray(e_x(table, x)),
                                rtol=0, atol=1e-6)
+
+
+def test_hash_pallas_hash19_level_grad():
+    """corridor_hashgrid.yaml sets log2_hashmap_size=19: the backward's
+    page axis must BLOCK over the grid (HI=4096 pages > PAGE_BLOCK), not
+    hold the whole table per program (ADVICE r4 — the round-4 kernel
+    would have overflowed VMEM here). Forward + table-grad parity across
+    the page-block boundary."""
+    from remixfusion_tpu.ops.pallas import hash_enc as HE
+    e_x = _enc("xla", n_levels=2, base_resolution=128,
+               log2_hashmap_size=19, desired_resolution=2048)
+    e_p = _enc("pallas", n_levels=2, base_resolution=128,
+               log2_hashmap_size=19, desired_resolution=2048)
+    assert all(e_x.hashed)
+    S = e_x.offsets[1] - e_x.offsets[0]
+    assert (S + 127) // 128 > HE.PAGE_BLOCK  # exercises nh > 1
+    table = e_x.init(jax.random.PRNGKey(8))
+    x = _data(n=300, seed=7)
+    np.testing.assert_allclose(np.asarray(e_p(table, x)),
+                               np.asarray(e_x(table, x)),
+                               rtol=0, atol=1e-6)
+    w = jnp.asarray(np.random.default_rng(9).normal(
+        size=(300, e_x.out_dim)), jnp.float32)
+    g_x = np.asarray(jax.grad(lambda t: jnp.sum(e_x(t, x) * w))(table))
+    g_p = np.asarray(jax.grad(lambda t: jnp.sum(e_p(t, x) * w))(table))
+    scale = np.abs(g_x).max()
+    np.testing.assert_allclose(g_p, g_x, rtol=0, atol=6e-3 * scale)
