@@ -321,8 +321,10 @@ def test_device_pose_prediction_matches_host():
 
     for _ in range(5):
         p2, p1 = rand_pose(), rand_pose()
+        # fit_prev only matters when tracking.speed_damp < 1 (round 5)
         dev = np.asarray(slam._predict_dev(jnp.asarray(p1),
-                                           jnp.asarray(p2)))
+                                           jnp.asarray(p2),
+                                           jnp.float32(0.0)))
         # host reference: delta = p1 inv(p2); pred = delta p1; SVD-orthonorm
         d = p1.astype(np.float64) @ np.linalg.inv(p2.astype(np.float64))
         pred = d @ p1
@@ -335,7 +337,8 @@ def test_device_pose_prediction_matches_host():
         assert np.abs(dev[:3, :3] @ Rh.T - np.eye(3)).max() < 1e-3
         # prev == prev2 degenerates to prev
         same = np.asarray(slam._predict_dev(jnp.asarray(p1),
-                                            jnp.asarray(p1)))
+                                            jnp.asarray(p1),
+                                            jnp.float32(0.0)))
         np.testing.assert_allclose(same[:3, 3], p1[:3, 3], atol=2e-5)
 
 
