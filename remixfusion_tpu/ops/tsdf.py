@@ -933,10 +933,14 @@ def frustum_tiles(dims, tile, origin, voxel_size, K, c2w, im_h, im_w,
 
     keep, z_near, u, v, front, all_front, z_far_c = corner_test(base, t)
     if depth_map is not None and keep.any():
-        # block-max depth pyramid (32 px blocks, zeros = invalid ignored)
-        blk = 32
+        # block-max depth pyramid. 32-px blocks at <=VGA (the recorded-
+        # baseline configuration, kept bitwise); 16-px above (divides
+        # 720/1280 exactly, so no 3.7 MB pad copy of the full map —
+        # ~1/3 of the measured +7.5 ms/keyframe host-selection delta at
+        # 3x pixels — and a finer regional far cull, same conservatism)
         d = np.asarray(depth_map)
         H, W = d.shape
+        blk = 32 if H * W <= 640 * 480 else 16
         ph, pw = (-H) % blk, (-W) % blk
         if ph or pw:
             d = np.pad(d, ((0, ph), (0, pw)))
